@@ -92,6 +92,29 @@ def is_digit(cp: int) -> bool:
     return get_type(cp) == DECIMAL_DIGIT_NUMBER
 
 
+_np_table = None
+
+
+def types_array():
+    """Full 0..0x10FFFF -> Java char-type lookup table as a numpy uint8 array.
+
+    ~1 MB, built once per process; enables vectorized classification of whole
+    documents inside pandas UDFs instead of per-char Python calls.
+    """
+    global _np_table
+    if _np_table is None:
+        import numpy as np
+
+        if not _starts:
+            _load()
+        table = np.zeros(0x110000, dtype=np.uint8)
+        bounds = _starts + [0x110000]
+        for i, t in enumerate(_types):
+            table[bounds[i] : bounds[i + 1]] = t
+        _np_table = table
+    return _np_table
+
+
 def utf16_units(text: str) -> list[int]:
     """The string as Java sees it: a sequence of UTF-16 code-unit values.
 

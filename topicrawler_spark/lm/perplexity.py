@@ -1,0 +1,100 @@
+"""Perplexity computation (``ModelPerplexity`` + the crawler's gates).
+
+perp = 10^(-(sum log10 p(ngram)) / N) over the n-grams of a document;
+N == 0 or a non-finite sum yields the model's *base perplexity* (the
+perplexity of a single all-``<unk>`` n-gram, computed through the same
+accumulator; models assigning -inf to it fall back to 0.0 exactly like the
+reference's uninitialized field).
+
+The crawler scorer (``DecesiveValueProducerPerplexity.computePerplexity`` +
+``getPerplexity``) adds per-sentence gates: a sentence contributes only if it
+produced at least one n-gram and its last n-gram has full LM order; an empty
+extraction or a non-finite / <=1 perplexity becomes the sentinel -1.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from topicrawler_spark.lm.local import LocalLM
+from topicrawler_spark.lm.ngrams import provider_ngrams
+from topicrawler_spark.seg.sentences import SentenceMaker
+
+Log10Scorer = Callable[[list[str]], float]
+
+
+def base_perplexity(lm: LocalLM, score: Log10Scorer) -> float:
+    lp = score(lm.unk_ngram())
+    if not math.isfinite(lp):
+        return 0.0  # reference: uninitialized field fallback
+    return math.pow(10.0, -lp)
+
+
+def perplexity_of_sums(sum_log10: float, n: int, base: float) -> float:
+    if n == 0 or not math.isfinite(sum_log10):
+        return base
+    return math.pow(10.0, -(sum_log10 / n))
+
+
+def sequence_perplexity(
+    lm: LocalLM, score: Log10Scorer, ngrams: list[list[str]], skip_oov: bool = False
+) -> float:
+    """``ModelPerplexity.calculatePerplexity``: N==0 -> Integer.MAX_VALUE."""
+    total = 0.0
+    n_oov = 0
+    for ng in ngrams:
+        if skip_oov and lm.ends_with_oov(ng):
+            n_oov += 1
+            continue
+        total += score(ng)
+    n = len(ngrams) - n_oov
+    if n == 0 or not math.isfinite(total):
+        return float(2**31 - 1)
+    return math.pow(10.0, -(total / n))
+
+
+class DocumentScorer:
+    """The crawler's text -> perplexity function (sentence gates included).
+
+    Build once on the driver, broadcast, call per page inside a pandas UDF.
+    """
+
+    def __init__(
+        self,
+        lm: LocalLM,
+        kind: str = "kneser-ney",
+        min_sentence_words: int = 2,
+        language_code: str = "default",
+        **scorer_kw,
+    ) -> None:
+        self.lm = lm
+        self.order = lm.order
+        self.score = lm.scorer(kind, **scorer_kw)
+        self.sentence_maker = SentenceMaker(min_sentence_words, language_code)
+        self.language_code = language_code
+        self.base = base_perplexity(lm, self.score)
+
+    def perplexity(self, text: str) -> float:
+        """computePerplexity: accumulate over gated sentences."""
+        total = 0.0
+        n = 0
+        for sentence in self.sentence_maker.sentences(text):
+            ngrams = provider_ngrams(sentence, self.order, self.language_code)
+            if len(ngrams) < 1:
+                continue
+            if len(ngrams[-1]) < self.order:
+                continue
+            for ng in ngrams:
+                total += self.score(ng)
+                n += 1
+        return perplexity_of_sums(total, n, self.base)
+
+    def score_page_text(self, cleaned_plaintext_trimmed: str) -> float:
+        """getPerplexity: empty text / non-finite / <=1 -> sentinel -1."""
+        if not cleaned_plaintext_trimmed:
+            return -1.0  # reference maps the +inf of empty text to -1
+        p = self.perplexity(cleaned_plaintext_trimmed)
+        if not math.isfinite(p) or p <= 1.0:
+            return -1.0
+        return p
