@@ -70,10 +70,25 @@ class DocumentScorer:
     ) -> None:
         self.lm = lm
         self.order = lm.order
-        self.score = lm.scorer(kind, **scorer_kw)
+        self.kind = kind
+        self.scorer_kw = scorer_kw
+        self._score: Log10Scorer | None = None
         self.sentence_maker = SentenceMaker(min_sentence_words, language_code)
         self.language_code = language_code
         self.base = base_perplexity(lm, self.score)
+
+    @property
+    def score(self) -> Log10Scorer:
+        # built lazily (and rebuilt after unpickling on executors): scorer
+        # closures are not picklable, the LM tables are
+        if self._score is None:
+            self._score = self.lm.scorer(self.kind, **self.scorer_kw)
+        return self._score
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_score"] = None
+        return state
 
     def perplexity(self, text: str) -> float:
         """computePerplexity: accumulate over gated sentences."""
