@@ -1,0 +1,214 @@
+"""Tests for the training-data pipeline ops (dedup, similarity, textstats,
+multimodal plumbing) on the driver-provided testdata tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    path = os.path.join(TESTDATA, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip("testdata unavailable")
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    path = os.path.join(TESTDATA, "embeddings.parquet")
+    if not os.path.exists(path):
+        pytest.skip("testdata unavailable")
+    return spark.read.parquet(path)
+
+
+def test_exact_dedup(spark):
+    from topicrawler_spark.pipeline.dedup import exact_dedup, exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "unique doc"), (4, "Hello World ")],
+        "doc_id long, text string",
+    )
+    groups = exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 4]
+    kept = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from topicrawler_spark.pipeline.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about turbines and manifolds and gaskets in the factory hall"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["a"], r["b"]): r["est_jaccard"] for r in minhash_lsh_pairs(df, n_hashes=32, bands=16, shingle_k=3).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pairs(spark):
+    from topicrawler_spark.pipeline.dedup import simhash_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = a.replace("delta", "delta2")
+    c = "nothing in common with the others at all whatsoever " * 3
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    got = {(r["a"], r["b"]) for r in simhash_pairs(df, max_hamming=16).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard(spark):
+    from topicrawler_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    a = "one two three four five six seven eight"
+    b = "one two three four five six seven nine"
+    c = "totally different words appear here now then"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    rows = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, shingle_k=3, threshold=0.2).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] > 0.4
+    assert (1, 3) not in rows
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from topicrawler_spark.pipeline.similarity import brute_force_topk
+
+    rows = embeddings.limit(200).collect()
+    mat = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[0].tolist()
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in brute_force_topk(df, q, k=5).collect()]
+    sims = mat @ np.array(q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    expect = [int(ids[i]) for i in np.argsort(-sims, kind="stable")[:5]]
+    assert got[0] == expect[0] == int(ids[0])
+    assert set(got) == set(expect)
+
+
+def test_brute_force_jvm_path_agrees(spark, embeddings):
+    from topicrawler_spark.pipeline.similarity import brute_force_topk
+
+    sample = embeddings.limit(50)
+    q = [float(x) for x in sample.first()["embedding"]]
+    a = [(r["vec_id"], round(r["cosine"], 6)) for r in brute_force_topk(sample, q, 5, use_numpy=True).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 6)) for r in brute_force_topk(sample, q, 5, use_numpy=False).collect()]
+    assert a == b
+
+
+def test_ann_recall(spark, embeddings):
+    from topicrawler_spark.pipeline.similarity import ann_topk, brute_force_topk
+
+    q = [float(x) for x in embeddings.first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(embeddings, q, 10).collect()}
+    approx = {r["vec_id"] for r in ann_topk(embeddings, q, 10, n_tables=12, n_planes=8).collect()}
+    # self must be found; recall should be reasonable on 500 vectors
+    assert len(exact & approx) >= 5
+
+
+def test_quality_and_tokens(spark):
+    from topicrawler_spark.pipeline.textstats import (
+        bpe_ish_token_count,
+        quality_score,
+        whitespace_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog near the river bank."),
+            (2, "click here click here click here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert out[1]["quality"] > out[2]["quality"]
+    assert out[3]["quality"] == 0.0
+    toks = df.select("doc_id", whitespace_token_count(F.col("text")).alias("w"),
+                     bpe_ish_token_count(F.col("text")).alias("b")).collect()
+    m = {r["doc_id"]: (r["w"], r["b"]) for r in toks}
+    assert m[1][0] == 13
+    assert m[1][1] >= m[1][0]
+    assert m[3] == (0, 0)
+
+
+def test_langid(spark):
+    from topicrawler_spark.pipeline.textstats import make_langid_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are playing in the garden of the house"),
+            (2, "der Hund und die Katze spielen in dem schönen Garten und singen"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    lid = make_langid_udf()
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lid("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_fingerprints(spark):
+    from topicrawler_spark.pipeline.textstats import document_fingerprint, winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "some shared long text body here"), (2, "some shared long text body here"), (3, "else")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in df.select("doc_id", document_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+    wf = winnowing_fingerprints(df).collect()
+    by_id = {r["doc_id"]: set(r["fingerprints"]) for r in wf}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_multimodal_image_features(spark):
+    from topicrawler_spark.pipeline.multimodal import image_features
+
+    rows = [
+        (1, "image", bytearray(b"fakejpegbytes-1"), "image/jpeg", 100, 80, None),
+        (2, "image", bytearray(b"fakejpegbytes-2"), "image/jpeg", 64, 64, None),
+        (3, "video", bytearray(b"fakevideobytes-0" * 10), "video/mp4", 640, 480, 5000),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, mime string, width int, height int, duration_ms long",
+    )
+    feats = image_features(df, feature_dim=16).collect()
+    assert {r["media_id"] for r in feats} == {1, 2}
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic across invocations
+    feats2 = image_features(df, feature_dim=16).collect()
+    assert sorted((r["media_id"], tuple(r["features"])) for r in feats) == sorted(
+        (r["media_id"], tuple(r["features"])) for r in feats2
+    )
+
+
+def test_multimodal_frame_sampling(spark):
+    from topicrawler_spark.pipeline.multimodal import sample_video_frames
+
+    rows = [(3, "video", bytearray(b"fakevideobytes-0" * 10), "video/mp4", 640, 480, 5000)]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, mime string, width int, height int, duration_ms long",
+    )
+    frames = sample_video_frames(df, every_ms=1000).collect()
+    assert len(frames) == 5
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == list(range(5))

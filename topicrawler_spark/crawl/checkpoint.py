@@ -1,0 +1,98 @@
+"""Round checkpointing with atomic commits and resume.
+
+Production target is an Iceberg catalog (snapshot per round, time travel for
+resume); this sandbox has no Iceberg runtime on the classpath, so the same
+semantics are provided over parquet directories plus a JSON manifest that is
+written *last* and atomically renamed — a round is visible iff its manifest
+exists, making round commits all-or-nothing and resume deterministic. The
+store keeps every round's state (no in-place mutation), so `resume()` after
+a crash replays from the last committed round, and per-round lineage
+(results/fetch_log/metrics) is queryable forever.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from topicrawler_spark.crawl.round import (
+    FRONTIER_SCHEMA,
+    HOST_SCHEMA,
+    SEEN_SCHEMA,
+    CrawlState,
+    RoundResult,
+)
+
+STATE_TABLES = ("frontier", "seen", "host_fetched")
+LOG_TABLES = ("results", "fetch_log", "partition_metrics")
+
+
+class CheckpointStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, round_no: int, table: str) -> str:
+        return os.path.join(self.root, f"r{round_no:05d}", table)
+
+    def _manifest(self, round_no: int) -> str:
+        return os.path.join(self.root, f"r{round_no:05d}", "MANIFEST.json")
+
+    def commit_round(self, state: CrawlState, result: RoundResult | None) -> None:
+        r = state.round_no
+        for name, df in (
+            ("frontier", state.frontier),
+            ("seen", state.seen),
+            ("host_fetched", state.host_fetched),
+        ):
+            df.write.mode("overwrite").parquet(self._dir(r, name))
+        manifest = {"round": r, "tables": list(STATE_TABLES)}
+        if result is not None:
+            result.results.write.mode("overwrite").parquet(self._dir(r, "results"))
+            result.fetch_log.write.mode("overwrite").parquet(self._dir(r, "fetch_log"))
+            result.partition_metrics.write.mode("overwrite").parquet(
+                self._dir(r, "partition_metrics")
+            )
+            manifest["tables"] += list(LOG_TABLES)
+            manifest["metrics"] = {
+                k: (None if v is None else (float(v) if isinstance(v, float) else v))
+                for k, v in result.metrics.items()
+            }
+        tmp = self._manifest(r) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest(r))  # the atomic commit point
+
+    def last_committed_round(self) -> int | None:
+        rounds = []
+        for d in os.listdir(self.root):
+            if d.startswith("r") and os.path.isfile(os.path.join(self.root, d, "MANIFEST.json")):
+                rounds.append(int(d[1:]))
+        return max(rounds) if rounds else None
+
+    def resume(self, spark: SparkSession) -> CrawlState | None:
+        r = self.last_committed_round()
+        if r is None:
+            return None
+        return CrawlState(
+            r,
+            spark.read.schema(FRONTIER_SCHEMA).parquet(self._dir(r, "frontier")),
+            spark.read.schema(SEEN_SCHEMA).parquet(self._dir(r, "seen")),
+            spark.read.schema(HOST_SCHEMA).parquet(self._dir(r, "host_fetched")),
+        )
+
+    def read(self, spark: SparkSession, round_no: int, table: str) -> DataFrame:
+        return spark.read.parquet(self._dir(round_no, table))
+
+    def metrics(self, round_no: int) -> dict:
+        with open(self._manifest(round_no)) as f:
+            return json.load(f).get("metrics", {})
+
+    def drop_after(self, round_no: int) -> None:
+        """Discard uncommitted/newer rounds (crash cleanup)."""
+        for d in list(os.listdir(self.root)):
+            if d.startswith("r") and int(d[1:]) > round_no:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

@@ -1,0 +1,46 @@
+"""Crawl configuration (the reference crawl profile's knobs)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# the reference profile's media/archive suffix reject rules (cxml reject-extension
+# regexes), expressed as one case-insensitive suffix class
+DEFAULT_REJECT_EXTENSIONS = (
+    r"(?i).*\.(?:js|css|swf|ico|bmp|gif|jpe?g|png|tiff?|svg|webp|"
+    r"mp[234]|m4[av]|wav|avi|mov|mpe?g|wmv|flv|mkv|ogg|webm|"
+    r"zip|rar|gz|bz2|7z|tar|tgz|exe|msi|dmg|iso|rpm|deb|jar|"
+    r"pdf|ps|doc[xm]?|xls[xm]?|ppt[xm]?|odt|ods|odp|rtf|"
+    r"ttf|woff2?|eot|class|dll|so|bin)$"
+)
+
+
+@dataclass
+class CrawlConfig:
+    order: int = 5
+    lm_kind: str = "kneser-ney"
+    boundaries: tuple[float, float, float] = (5e2, 5e3, float("inf"))
+    maxvalue: float = 5e4
+    max_precedence: int = 127
+    max_hops: int = 20
+    queue_total_budget: int = 4096  # successful fetches per host before retirement
+    min_delay_ms: int = 100
+    max_robots_delay_s: float = 180.0
+    round_ms: int = 10_000  # batch-round politeness window ("toe time")
+    per_host_quota: int | None = None  # fixed per-round quota; None = delay-derived
+    user_agent: str = "ltbot"
+    reject_extensions: str = DEFAULT_REJECT_EXTENSIONS
+    respect_robots: bool = True
+    scope_hosts: frozenset[str] | None = None  # optional host allowlist
+    min_sentence_words: int = 2
+    language_code: str = "default"
+    seed_perplexity: float = 2.0
+    n_salt: int = 16  # politeness-ranking salt buckets (host-skew defense)
+
+    def host_quota(self, delay_ms: int) -> int:
+        if self.per_host_quota is not None:
+            return self.per_host_quota
+        return max(1, self.round_ms // max(delay_ms, 1))
+
+
+DEFAULT_CONFIG = CrawlConfig()

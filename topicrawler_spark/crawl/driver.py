@@ -1,0 +1,69 @@
+"""The round-loop driver: seeds -> N crawl rounds, checkpointed, resumable."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from topicrawler_spark.crawl.checkpoint import CheckpointStore
+from topicrawler_spark.crawl.config import CrawlConfig
+from topicrawler_spark.crawl.round import (
+    CrawlState,
+    build_robots_broadcast,
+    init_state,
+    run_round,
+)
+from topicrawler_spark.lm.perplexity import DocumentScorer
+
+
+@dataclass
+class CrawlRun:
+    state: CrawlState
+    metrics: list[dict]
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    scorer: DocumentScorer,
+    rounds: int,
+    cfg: CrawlConfig | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> CrawlRun:
+    cfg = cfg or CrawlConfig()
+    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+
+    state: CrawlState | None = None
+    if store is not None and resume:
+        state = store.resume(spark)
+    if state is None:
+        state = init_state(spark, seeds, cfg)
+        if store is not None:
+            store.commit_round(state, None)
+
+    scorer_bc = spark.sparkContext.broadcast(scorer)
+    robots_bc = build_robots_broadcast(spark, pages, cfg)
+
+    all_metrics: list[dict] = []
+    for _ in range(state.round_no, rounds):
+        if state.frontier.isEmpty():
+            break
+        state, result = run_round(spark, state, pages, scorer_bc, robots_bc, cfg)
+        all_metrics.append(result.metrics)
+        if store is not None:
+            store.commit_round(state, result)
+            # re-read committed state: cuts the lazy lineage chain and makes
+            # the carried state exactly the committed bytes
+            state = store.resume(spark)
+        else:
+            # keep lineage short in memory-only mode
+            state = CrawlState(
+                state.round_no,
+                state.frontier.localCheckpoint(eager=True),
+                state.seen.localCheckpoint(eager=True),
+                state.host_fetched.localCheckpoint(eager=True),
+            )
+    return CrawlRun(state, all_metrics)

@@ -1,0 +1,74 @@
+"""Distributed ordering primitives for the frontier.
+
+- ``per_host_top_k``: the politeness admission — per-host top-k by the queue
+  key (directive, precedence, ordinal), computed skew-safely: a salted
+  pre-rank bounds any single reducer to ``k`` rows per (host, salt) bucket
+  before the exact per-host ranking runs on the ~k*n_salt survivors. A naive
+  ``Window.partitionBy(host)`` would funnel a 30%-of-the-frontier host
+  through one task; with the salt stage the exact window only ever sees
+  ``k * n_salt`` rows per host. (The north rule's "salted groupBy".)
+
+- ``zip_with_order``: deterministic dense rank over a global ordering
+  without a single-reducer window: range-repartition on the key, rank
+  within partitions, add collected per-partition offsets (a classic
+  two-phase zipWithIndex, all DataFrame-API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_host_top_k(
+    frontier: DataFrame,
+    k_col: str,
+    order_cols: list[str],
+    host_col: str = "host",
+    n_salt: int = 16,
+    rank_name: str = "host_rank",
+) -> DataFrame:
+    """Rows with per-host rank <= row's ``k_col``, plus the rank column."""
+    order = [F.col(c).asc() for c in order_cols]
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+    pre = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col(k_col))
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return pre.withColumn(rank_name, F.row_number().over(w2)).filter(
+        F.col(rank_name) <= F.col(k_col)
+    )
+
+
+def zip_with_order(df: DataFrame, order_cols: list[str], name: str = "ord_k") -> DataFrame:
+    """Add a dense 1-based rank following the global order of ``order_cols``
+    without funneling all rows through one window partition."""
+    spark = df.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    keyed = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *[F.col(c) for c in order_cols]
+    )
+    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = with_pid.withColumn("_lrank", F.row_number().over(w_local))
+    sizes = {r["_pid"]: r["c"] for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if offsets:
+        off_df = spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+        local = local.join(F.broadcast(off_df), "_pid", "left")
+    else:
+        local = local.withColumn("_off", F.lit(0).cast("long"))
+    return local.withColumn(name, (F.col("_off") + F.col("_lrank")).cast("long")).drop(
+        "_pid", "_lrank", "_off"
+    )

@@ -1,0 +1,343 @@
+"""One crawl round as one Spark job.
+
+Dataflow (Spark re-expression of the reference's candidate/fetch/disposition
+chains, SURVEY.md §3.1):
+
+frontier_r --(salted per-host top-k: politeness + queue budget)--> admitted
+admitted ⋈ pages (equi-join on url) --> fetched
+fetched --extract_text/perplexity/outlinks (one Arrow pass, html dropped)-->
+posexplode(outlinks) --> candidates
+candidates --scope filters --> canonicalize --> priority exprs -->
+in-round dedup (first discovery wins) --> anti-join seen --> robots gate -->
+deterministic ordinal --> frontier_{r+1}, seen', host_fetched', results_r,
+fetch_log_r, metrics_r
+
+Ordinals are (round_added, rank_within_round) pairs — lexicographically
+identical to the reference's monotone 48-bit arrival ordinal, but assigned
+with a two-phase rank instead of a global sequence point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+import pandas as pd
+
+from topicrawler_spark.crawl.config import CrawlConfig
+from topicrawler_spark.crawl.priority import apply_priority
+from topicrawler_spark.crawl.ranking import per_host_top_k, zip_with_order
+from topicrawler_spark.crawl.robots import RobotsRules, effective_delay_ms, parse_robots
+from topicrawler_spark.functions.canonicalize import canonical_url, host_classkey, url_hash64
+from topicrawler_spark.functions.udfs import (
+    extract_outlinks_udf,
+    make_perplexity_udf,
+    make_scoring_text_udf,
+)
+
+FRONTIER_SCHEMA = (
+    "url string, canon string, url_hash long, host string, directive int, "
+    "precedence int, ord_r int, ord_k long, hops int, via string"
+)
+SEEN_SCHEMA = "url_hash long, canon string"
+HOST_SCHEMA = "host string, fetched long"
+ORDER_COLS = ["directive", "precedence", "ord_r", "ord_k"]
+
+
+@dataclass
+class CrawlState:
+    round_no: int
+    frontier: DataFrame
+    seen: DataFrame
+    host_fetched: DataFrame
+
+
+@dataclass
+class RoundResult:
+    fetch_log: DataFrame  # round, host, host_rank, canon, url
+    results: DataFrame  # url, canon, host, perp, text, plain_abbrv
+    metrics: dict
+    partition_metrics: DataFrame
+
+
+def build_robots_broadcast(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig):
+    """Parse all robots.txt rows once; broadcast {host -> (delay_ms, rules)}.
+
+    The filter pushes down to the parquet/Iceberg scan; the result is one
+    small row per host — the canonical broadcast dimension."""
+    rows = (
+        pages.filter(F.col("url").endswith("/robots.txt"))
+        .select("url", "html")
+        .collect()
+    )
+    table: dict[str, tuple[int, RobotsRules]] = {}
+    for r in rows:
+        url = r["url"].lower()
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        if url.startswith("https://") and ":" not in host:
+            host += ":443"
+        host = host.replace(":", "#")
+        body = bytes(r["html"]).decode("utf-8", "replace") if r["html"] is not None else ""
+        rules = parse_robots(body, cfg.user_agent)
+        delay = effective_delay_ms(rules.crawl_delay, cfg.min_delay_ms, cfg.max_robots_delay_s)
+        table[host] = (delay, rules)
+    return spark.sparkContext.broadcast(table)
+
+
+def make_robots_allow_udf(robots_bc, respect: bool = True):
+    @F.pandas_udf(BooleanType())
+    def robots_allows(host: pd.Series, canon: pd.Series) -> pd.Series:
+        if not respect:
+            return pd.Series([True] * len(host))
+        table = robots_bc.value
+        out = []
+        for h, c in zip(host, canon):
+            entry = table.get(h)
+            if entry is None:
+                out.append(True)
+                continue
+            rest = c.split("://", 1)[-1]
+            path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+            out.append(entry[1].allows_path(path))
+        return pd.Series(out)
+
+    return robots_allows
+
+
+def init_state(
+    spark: SparkSession, seeds: list[str], cfg: CrawlConfig | None = None
+) -> CrawlState:
+    cfg = cfg or CrawlConfig()
+    raw = spark.createDataFrame([(u, i) for i, u in enumerate(seeds)], "url string, idx long")
+    canon = canonical_url(F.col("url"))
+    seeded = raw.select(
+        "url",
+        canon.alias("canon"),
+        "idx",
+    ).dropDuplicates(["canon"])
+    directive, cost = apply_priority(
+        F.lit(cfg.seed_perplexity),
+        boundaries=cfg.boundaries,
+        maxvalue=cfg.maxvalue,
+        max_precedence=cfg.max_precedence,
+    )
+    frontier = seeded.select(
+        "url",
+        "canon",
+        url_hash64(F.col("canon")).alias("url_hash"),
+        host_classkey(F.col("canon")).alias("host"),
+        directive.alias("directive"),
+        cost.alias("precedence"),
+        F.lit(0).alias("ord_r"),
+        (F.col("idx") + 1).alias("ord_k"),
+        F.lit(0).alias("hops"),
+        F.lit(None).cast("string").alias("via"),
+    )
+    seen = frontier.select("url_hash", "canon")
+    host_fetched = spark.createDataFrame([], HOST_SCHEMA)
+    return CrawlState(0, frontier, seen, host_fetched)
+
+
+def run_round(
+    spark: SparkSession,
+    state: CrawlState,
+    pages: DataFrame,
+    scorer_bc,
+    robots_bc,
+    cfg: CrawlConfig | None = None,
+) -> tuple[CrawlState, RoundResult]:
+    cfg = cfg or CrawlConfig()
+    round_no = state.round_no + 1
+
+    # ---- 1. politeness admission (salted per-host top-k + queue budget) ----
+    delays = {h: d for h, (d, _) in robots_bc.value.items()}
+    quota_rows = [(h, cfg.host_quota(d)) for h, d in delays.items()]
+    default_quota = cfg.host_quota(cfg.min_delay_ms)
+    quota_df = (
+        spark.createDataFrame(quota_rows, "host string, quota int")
+        if quota_rows
+        else spark.createDataFrame([], "host string, quota int")
+    )
+    fr = (
+        state.frontier.join(F.broadcast(quota_df), "host", "left")
+        .join(F.broadcast(state.host_fetched), "host", "left")
+        .withColumn("quota", F.coalesce("quota", F.lit(default_quota)))
+        .withColumn("fetched", F.coalesce("fetched", F.lit(0)))
+        .withColumn(
+            "k",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("quota").cast("long"), F.lit(cfg.queue_total_budget) - F.col("fetched")),
+            ),
+        )
+    )
+    admitted = per_host_top_k(fr, "k", ORDER_COLS, n_salt=cfg.n_salt).drop(
+        "quota", "fetched", "k"
+    )
+    admitted.cache()
+    remaining = state.frontier.join(
+        admitted.select("url_hash").withColumnRenamed("url_hash", "_h"),
+        state.frontier["url_hash"] == F.col("_h"),
+        "left_anti",
+    )
+
+    fetch_log = admitted.select(
+        F.lit(round_no).alias("round"), "host", F.col("host_rank"), "canon", "url"
+    )
+
+    # ---- 2. fetch: join the pages table; prune columns aggressively --------
+    fetched = admitted.join(
+        pages.select(F.col("url").alias("_page_url"), "html"),
+        admitted["url"] == F.col("_page_url"),
+        "left",
+    ).drop("_page_url")
+    is_robots = F.col("canon").endswith("/robots.txt")
+    got_page = F.col("html").isNotNull()
+
+    # ---- 3. score + expand in ONE Arrow pass over html, then drop it -------
+    scoring_text = make_scoring_text_udf("ext")
+    perp_udf = make_perplexity_udf(scorer_bc)
+    scored = (
+        fetched.withColumn(
+            "text", F.when(got_page & ~is_robots, scoring_text(F.col("html"))).otherwise(F.lit(None))
+        )
+        .withColumn(
+            "outlinks",
+            F.when(got_page & ~is_robots, extract_outlinks_udf(F.col("html"), F.col("url"))).otherwise(
+                F.array().cast("array<struct<url:string,hop:string>>")
+            ),
+        )
+        .withColumn("fetch_ok", got_page)
+        .drop("html")
+        .withColumn("perp", F.when(F.col("text").isNotNull(), perp_udf(F.col("text"))).otherwise(F.lit(None)))
+    )
+    scored.cache()
+
+    results = scored.filter(F.col("fetch_ok") & ~is_robots).select(
+        F.lit(round_no).alias("round"), "url", "canon", "host", "perp", "text", "hops"
+    )
+
+    # ---- 4. candidate chain --------------------------------------------------
+    cands = (
+        scored.filter(F.col("fetch_ok") & ~is_robots)
+        .select(
+            F.col("ord_r").alias("p_ord_r"),
+            F.col("ord_k").alias("p_ord_k"),
+            F.col("canon").alias("via"),
+            F.col("perp").alias("via_perp"),
+            (F.col("hops") + 1).alias("hops"),
+            F.posexplode("outlinks").alias("link_idx", "link"),
+        )
+        .select("p_ord_r", "p_ord_k", "via", "via_perp", "hops", "link_idx", F.col("link.url").alias("url"))
+    )
+
+    canon = canonical_url(F.col("url"))
+    cands = cands.withColumn("canon", canon)
+    cands = cands.filter(
+        (F.col("hops") <= cfg.max_hops)
+        & ~F.col("canon").rlike(cfg.reject_extensions)
+        & F.col("canon").rlike(r"^https?://")
+    )
+    cands = cands.withColumn("host", host_classkey(F.col("canon"))).filter(F.col("host") != "")
+    if cfg.scope_hosts is not None:
+        scope = spark.createDataFrame([(h,) for h in sorted(cfg.scope_hosts)], "host string")
+        cands = cands.join(F.broadcast(scope), "host", "left_semi")
+
+    directive, cost = apply_priority(
+        F.col("via_perp"),
+        boundaries=cfg.boundaries,
+        maxvalue=cfg.maxvalue,
+        max_precedence=cfg.max_precedence,
+    )
+    cands = (
+        cands.withColumn("directive", directive)
+        .withColumn("precedence", cost)
+        .filter(F.col("directive") >= 0)
+    )
+
+    # in-round dedup: first discovery (parent order, link index) wins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon").orderBy("p_ord_r", "p_ord_k", "link_idx")
+    cands = cands.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    # seen-set dedup: left-anti join on the 64-bit fingerprint
+    cands = cands.withColumn("url_hash", url_hash64(F.col("canon")))
+    new_unique = cands.join(
+        state.seen.select(F.col("url_hash").alias("_seen_h")),
+        cands["url_hash"] == F.col("_seen_h"),
+        "left_anti",
+    )
+    new_unique.cache()
+
+    # scheduled => seen (robots-blocked URLs are seen but never enqueued)
+    seen_new = state.seen.unionByName(new_unique.select("url_hash", "canon")).dropDuplicates(
+        ["url_hash"]
+    )
+
+    robots_allow = make_robots_allow_udf(robots_bc, cfg.respect_robots)
+    enq = new_unique.filter(robots_allow(F.col("host"), F.col("canon")))
+
+    # deterministic ordinal: dense rank over (parent ordinal, link index)
+    enq = zip_with_order(enq, ["p_ord_r", "p_ord_k", "link_idx"], name="ord_k")
+    frontier_next = remaining.unionByName(
+        enq.select(
+            "url",
+            "canon",
+            "url_hash",
+            "host",
+            "directive",
+            "precedence",
+            F.lit(round_no).alias("ord_r"),
+            "ord_k",
+            "hops",
+            "via",
+        )
+    )
+
+    # ---- 5. budgets + metrics -------------------------------------------------
+    fetch_counts = (
+        scored.filter(F.col("fetch_ok"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("fetched"))
+    )
+    host_fetched = (
+        state.host_fetched.unionByName(fetch_counts)
+        .groupBy("host")
+        .agg(F.sum("fetched").alias("fetched"))
+    )
+
+    perp_stats = results.agg(
+        F.count(F.lit(1)).alias("scored"),
+        F.min(F.when(F.col("perp") > 0, F.col("perp"))).alias("perp_min"),
+        F.max("perp").alias("perp_max"),
+        F.avg(F.when(F.col("perp") > 0, F.col("perp"))).alias("perp_avg"),
+        F.count(F.when(F.col("perp") <= 1, 1)).alias("n_rejected_pages"),
+    ).collect()[0]
+    directive_counts = {
+        f"n_directive_{r['directive']}": r["c"]
+        for r in new_unique.groupBy("directive").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    metrics = {
+        "round": round_no,
+        "admitted": admitted.count(),
+        "fetched": scored.filter(F.col("fetch_ok")).count(),
+        "scored": perp_stats["scored"],
+        "perp_min": perp_stats["perp_min"],
+        "perp_max": perp_stats["perp_max"],
+        "perp_avg": perp_stats["perp_avg"],
+        "n_rejected_pages": perp_stats["n_rejected_pages"],
+        "urls_new": new_unique.count(),
+        **directive_counts,
+    }
+    partition_metrics = (
+        new_unique.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .withColumn("round", F.lit(round_no))
+    )
+
+    new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched)
+    return new_state, RoundResult(fetch_log, results, metrics, partition_metrics)

@@ -47,14 +47,14 @@ _RE_CFID = r"^(.+)(?:cfid=[^&]+&cftoken=[^&]+(?:jsession=[^&]+)?)(?:&(.*))?$"
 
 def _strip_match(col: Column, pattern: str, case_insensitive: bool = True) -> Column:
     """Replicate BaseRule.doStripRegexMatch: if the whole URL matches, keep
-    group(1)+group(2), else leave unchanged."""
+    group(1)+group(2), else leave unchanged.
+
+    Expressed as ONE anchored regexp_replace so the rule chain stays a
+    *linear* expression tree (a when/extract/extract formulation references
+    its input three times per rule — seven stacked rules would blow the tree
+    up 3^7-fold and stall whole-stage codegen)."""
     pat = ("(?i)" if case_insensitive else "") + pattern
-    matched = col.rlike(pat)
-    stripped = F.concat(
-        F.regexp_extract(col, pat, 1),
-        F.regexp_extract(col, pat, 2),
-    )
-    return F.when(matched, stripped).otherwise(col)
+    return F.regexp_replace(col, pat, "$1$2")
 
 
 # FixupQueryString branch patterns. Java picks exactly ONE branch based on the
@@ -69,15 +69,15 @@ _FIX_AMP_END = r"^(.+\?.*)&$"
 
 
 def fixup_query_string(c: Column) -> Column:
-    """FixupQueryString as a single-branch conditional (mirrors Java's elif)."""
+    """FixupQueryString as a single-branch conditional (mirrors Java's elif).
+
+    One flat when-chain over the same input — the input expression is
+    referenced a constant number of times (no recursive nesting)."""
     return (
-        F.when(c.rlike(_FIX_Q_TRAILING), F.regexp_extract(c, _FIX_Q_TRAILING, 1))
-        .when(c.rlike(_FIX_QAMP_END), F.regexp_extract(c, _FIX_QAMP_END, 1))
-        .when(
-            c.rlike(_FIX_QAMP_MID),
-            F.concat(F.regexp_extract(c, _FIX_QAMP_MID, 1), F.regexp_extract(c, _FIX_QAMP_MID, 2)),
-        )
-        .when(c.rlike(_FIX_AMP_END), F.regexp_extract(c, _FIX_AMP_END, 1))
+        F.when(c.rlike(_FIX_Q_TRAILING), F.regexp_replace(c, _FIX_Q_TRAILING, "$1"))
+        .when(c.rlike(_FIX_QAMP_END), F.regexp_replace(c, _FIX_QAMP_END, "$1"))
+        .when(c.rlike(_FIX_QAMP_MID), F.regexp_replace(c, _FIX_QAMP_MID, "$1$2"))
+        .when(c.rlike(_FIX_AMP_END), F.regexp_replace(c, _FIX_AMP_END, "$1"))
         .otherwise(c)
     )
 

