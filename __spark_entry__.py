@@ -390,7 +390,10 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # full-precision epoch (unix_timestamp truncates sub-second components,
+    # which would flip gap decisions near the boundary vs the oracle)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
     marked = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
     sess = marked.withColumn(
         "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -701,9 +704,11 @@ SELECT u.ngram AS ngram,
 FROM ucounts u LEFT JOIN nf ON u.ngram = nf.key LEFT JOIN np ON u.ngram = np.key
 """,
         "count_histogram": f"""
-WITH {bigrams_cte},
-counts AS (SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram)
-SELECT 2 AS n, least(cnt, 5) AS cls, count(*) AS num, sum(cnt) AS total
+WITH {toks_cte},
+g1 AS (SELECT tok[i] AS ngram, 1 AS n FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram, 2 AS n FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+counts AS (SELECT ngram, n, count(*) AS cnt FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) GROUP BY ngram, n)
+SELECT n, least(cnt, 5) AS cls, count(*) AS num, sum(cnt) AS total
 FROM counts GROUP BY 1, 2
 """,
         "mle_bigram_logprob": f"""
@@ -803,7 +808,7 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
 """,
         "events_hourly": """
-SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """,
@@ -822,8 +827,8 @@ s AS (
   FROM g
 )
 SELECT user_id, sess_no, count(*) AS n_events,
-       CAST(epoch(min(ts)) AS BIGINT) AS start_epoch,
-       CAST(epoch(max(ts)) AS BIGINT) AS end_epoch
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
 FROM s GROUP BY user_id, sess_no
 """,
         "user_event_rank": """

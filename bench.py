@@ -1,0 +1,115 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Primary headline: the focused-crawl round loop — frontier URLs
+expanded+scored per second on a deterministic synthetic web corpus
+(seed=42). Secondary: representative operators at the sf-dir scale.
+
+env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default all)
+  BENCH_PAGES          (synthetic corpus size, default 4000)
+  BENCH_ROUNDS         (crawl rounds, default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_pages = int(os.environ.get("BENCH_PAGES", "4000"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+
+    from topicrawler_spark.session import get_spark
+
+    spark = get_spark(app_name="topicrawler-bench", master=f"local[{cpus}]")
+    sc = spark.sparkContext
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    times: dict[str, float] = {}
+
+    # ---- headline: crawl rounds ------------------------------------------------
+    from topicrawler_spark.crawl.config import CrawlConfig
+    from topicrawler_spark.crawl.driver import run_crawl
+    from topicrawler_spark.datagen import generate_corpus, pages_dataframe, topic_corpus
+    from topicrawler_spark.lm.local import LocalLM
+    from topicrawler_spark.lm.perplexity import DocumentScorer
+
+    corpus = generate_corpus(
+        n_pages=n_pages, n_hosts=max(20, n_pages // 50), n_seeds=5, seed=42, links_per_page=10
+    )
+    lm = LocalLM.from_texts([topic_corpus(42, 800)], order=3)
+    scorer = DocumentScorer(lm, "kneser-ney")
+    cfg = CrawlConfig(order=3, per_host_quota=50, max_hops=15)
+    pages = pages_dataframe(spark, corpus).cache()
+    pages.count()  # warm the input (the corpus is the simulated WARC store)
+
+    t0 = time.time()
+    run = run_crawl(spark, pages, corpus.seeds, scorer, n_rounds, cfg, collect_metrics=False)
+    crawl_sec = time.time() - t0
+    expanded = sum(m.get("urls_new", 0) for m in run.metrics)
+    scored = sum(m.get("fetched", 0) for m in run.metrics)
+    urls_per_sec = (expanded + scored) / crawl_sec if crawl_sec > 0 else 0.0
+    times["crawl_rounds"] = round(crawl_sec, 3)
+
+    # ---- secondary operators at sf scale --------------------------------------
+    import __spark_entry__ as entrymod
+
+    for name in [
+        "ngram_count",
+        "nfollow",
+        "mle_bigram_logprob",
+        "politeness_topk",
+        "frontier_dedup",
+        "minhash_lsh",
+        "doc_perplexity",
+        "embedding_topk",
+        "pricing_summary",
+        "events_sessions",
+    ]:
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception:
+            # fall back to count if noop sink unavailable
+            try:
+                fn(spark, sf_dir).count()
+                times[name] = round(time.time() - t0, 3)
+            except Exception as e:  # pragma: no cover
+                times[name] = -1.0
+
+    out = {
+        "metric": "frontier URLs expanded+scored/sec (synthetic corpus, seed=42)",
+        "value": round(urls_per_sec, 2),
+        "unit": "urls/sec",
+        "queries": times,
+        "sf": sf,
+        "detail": {
+            "pages": n_pages,
+            "rounds": len(run.metrics),
+            "urls_expanded": expanded,
+            "pages_scored": scored,
+            "crawl_sec": round(crawl_sec, 2),
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ def run_crawl(
     cfg: CrawlConfig | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    collect_metrics: bool = True,
 ) -> CrawlRun:
     cfg = cfg or CrawlConfig()
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
@@ -51,7 +52,9 @@ def run_crawl(
     for _ in range(state.round_no, rounds):
         if state.frontier.isEmpty():
             break
-        state, result = run_round(spark, state, pages, scorer_bc, robots_bc, cfg)
+        state, result = run_round(
+            spark, state, pages, scorer_bc, robots_bc, cfg, collect_metrics=collect_metrics
+        )
         all_metrics.append(result.metrics)
         if store is not None:
             store.commit_round(state, result)

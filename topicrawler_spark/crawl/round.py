@@ -148,6 +148,7 @@ def run_round(
     scorer_bc,
     robots_bc,
     cfg: CrawlConfig | None = None,
+    collect_metrics: bool = True,
 ) -> tuple[CrawlState, RoundResult]:
     cfg = cfg or CrawlConfig()
     round_no = state.round_no + 1
@@ -310,34 +311,43 @@ def run_round(
         .agg(F.sum("fetched").alias("fetched"))
     )
 
-    perp_stats = results.agg(
-        F.count(F.lit(1)).alias("scored"),
-        F.min(F.when(F.col("perp") > 0, F.col("perp"))).alias("perp_min"),
-        F.max("perp").alias("perp_max"),
-        F.avg(F.when(F.col("perp") > 0, F.col("perp"))).alias("perp_avg"),
-        F.count(F.when(F.col("perp") <= 1, 1)).alias("n_rejected_pages"),
-    ).collect()[0]
-    directive_counts = {
-        f"n_directive_{r['directive']}": r["c"]
-        for r in new_unique.groupBy("directive").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    metrics = {
-        "round": round_no,
-        "admitted": admitted.count(),
-        "fetched": scored.filter(F.col("fetch_ok")).count(),
-        "scored": perp_stats["scored"],
-        "perp_min": perp_stats["perp_min"],
-        "perp_max": perp_stats["perp_max"],
-        "perp_avg": perp_stats["perp_avg"],
-        "n_rejected_pages": perp_stats["n_rejected_pages"],
-        "urls_new": new_unique.count(),
-        **directive_counts,
-    }
-    partition_metrics = (
-        new_unique.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .withColumn("round", F.lit(round_no))
-    )
+    if collect_metrics:
+        perp_stats = results.agg(
+            F.count(F.lit(1)).alias("scored"),
+            F.min(F.when(F.col("perp") > 0, F.col("perp"))).alias("perp_min"),
+            F.max("perp").alias("perp_max"),
+            F.avg(F.when(F.col("perp") > 0, F.col("perp"))).alias("perp_avg"),
+            F.count(F.when(F.col("perp") <= 1, 1)).alias("n_rejected_pages"),
+        ).collect()[0]
+        directive_counts = {
+            f"n_directive_{r['directive']}": r["c"]
+            for r in new_unique.groupBy("directive").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        metrics = {
+            "round": round_no,
+            "admitted": admitted.count(),
+            "fetched": scored.filter(F.col("fetch_ok")).count(),
+            "scored": perp_stats["scored"],
+            "perp_min": perp_stats["perp_min"],
+            "perp_max": perp_stats["perp_max"],
+            "perp_avg": perp_stats["perp_avg"],
+            "n_rejected_pages": perp_stats["n_rejected_pages"],
+            "urls_new": new_unique.count(),
+            **directive_counts,
+        }
+        partition_metrics = (
+            new_unique.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("round", F.lit(round_no))
+        )
+    else:
+        # bench mode: only the throughput counters, from already-cached DFs
+        metrics = {
+            "round": round_no,
+            "fetched": scored.filter(F.col("fetch_ok")).count(),
+            "urls_new": new_unique.count(),
+        }
+        partition_metrics = spark.createDataFrame([], "partition_id int, rows long, round int")
 
     new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched)
     return new_state, RoundResult(fetch_log, results, metrics, partition_metrics)

@@ -19,15 +19,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# fixed odd constants for the affine permutation family (deterministic runs)
-_MERSENNE = (1 << 61) - 1
+# fixed odd constants for the affine permutation family (deterministic runs).
+# params stay below 2^31 and hashes are folded to 31 bits first so a*h+b
+# never overflows a long (ANSI mode errors on overflow).
+_MERSENNE31 = (1 << 31) - 1
 
 
 def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    return [(rng.randrange(1, _MERSENNE - 1) | 1, rng.randrange(0, _MERSENNE - 1)) for _ in range(n_hashes)]
+    return [
+        (rng.randrange(1, _MERSENNE31 - 1) | 1, rng.randrange(0, _MERSENNE31 - 1))
+        for _ in range(n_hashes)
+    ]
 
 
 def normalized_text(col: Column) -> Column:
@@ -77,10 +82,10 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    ).select("doc_id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("h"))
     mins = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(f"m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
@@ -165,7 +170,9 @@ def simhash64(text: Column, shingle_k: int = 2) -> Column:
     ]
     out = F.lit(0).cast("long")
     for i, b in enumerate(bits):
-        out = out.bitwiseOR(F.when(b > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long"))
+        out = out.bitwiseOR(
+            F.shiftleft(F.when(b > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+        )
     return out
 
 

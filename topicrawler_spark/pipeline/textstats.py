@@ -5,6 +5,7 @@ except the n-gram language-ID profile scorer (Arrow/numpy UDF).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,8 +110,6 @@ _LANG_PROFILES: dict[str, list[str]] = {
 
 
 def make_langid_udf():
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import StringType
 
     profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
