@@ -184,8 +184,14 @@ def simhash_pairs(
     shingle_k: int = 2,
 ) -> DataFrame:
     """Near-dup candidates with Hamming distance <= max_hamming, found by
-    blocking on 16-bit quarters (any pair within distance 3 shares at least
-    one identical quarter — pigeonhole)."""
+    pigeonhole blocking: the signature is split into max_hamming+1 (rounded
+    up to a power-of-two divisor of 64, capped at 16) bit-blocks — any pair
+    within the distance budget must agree on at least one whole block."""
+    n_blocks = 1
+    while n_blocks < max_hamming + 1 and n_blocks < 16:
+        n_blocks *= 2
+    bits = 64 // n_blocks
+    mask = (1 << bits) - 1
     sigs = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col), shingle_k).alias("sim")).cache()
     blocked = sigs.select(
         "doc_id",
@@ -193,8 +199,8 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("sim", q * 16).bitwiseAND(F.lit(0xFFFF)).cast("long")
-                    for q in range(4)
+                    F.shiftrightunsigned("sim", q * bits).bitwiseAND(F.lit(mask)).cast("long")
+                    for q in range(n_blocks)
                 ]
             )
         ).alias("q", "qv"),
