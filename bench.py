@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    n_pages = int(os.environ.get("BENCH_PAGES", "4000"))
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
 
     from topicrawler_spark.session import get_spark
 
@@ -48,18 +48,18 @@ def main() -> None:
     from topicrawler_spark.lm.perplexity import DocumentScorer
 
     corpus = generate_corpus(
-        n_pages=n_pages, n_hosts=max(20, n_pages // 50), n_seeds=5, seed=42, links_per_page=10
+        n_pages=n_pages, n_hosts=max(20, n_pages // 80), n_seeds=8, seed=42, links_per_page=12
     )
     lm = LocalLM.from_texts([topic_corpus(42, 800)], order=3)
     scorer = DocumentScorer(lm, "kneser-ney")
-    cfg = CrawlConfig(order=3, per_host_quota=50, max_hops=15)
+    cfg = CrawlConfig(order=3, per_host_quota=int(os.environ.get("BENCH_QUOTA", "200")), max_hops=15)
     pages = pages_dataframe(spark, corpus).cache()
     pages.count()  # warm the input (the corpus is the simulated WARC store)
 
     t0 = time.time()
     run = run_crawl(spark, pages, corpus.seeds, scorer, n_rounds, cfg, collect_metrics=False)
     crawl_sec = time.time() - t0
-    expanded = sum(m.get("urls_new", 0) for m in run.metrics)
+    expanded = sum(m.get("urls_enqueued", m.get("urls_new", 0)) for m in run.metrics)
     scored = sum(m.get("fetched", 0) for m in run.metrics)
     urls_per_sec = (expanded + scored) / crawl_sec if crawl_sec > 0 else 0.0
     times["crawl_rounds"] = round(crawl_sec, 3)

@@ -49,8 +49,10 @@ def run_crawl(
     robots_bc = build_robots_broadcast(spark, pages, cfg)
 
     all_metrics: list[dict] = []
+    prev_fetched_total = 0
+    empty_frontier = False
     for _ in range(state.round_no, rounds):
-        if state.frontier.isEmpty():
+        if empty_frontier or state.frontier.isEmpty():
             break
         state, result = run_round(
             spark, state, pages, scorer_bc, robots_bc, cfg, collect_metrics=collect_metrics
@@ -61,12 +63,26 @@ def run_crawl(
             # re-read committed state: cuts the lazy lineage chain and makes
             # the carried state exactly the committed bytes
             state = store.resume(spark)
+            for df in result.cached:
+                df.unpersist()
         else:
-            # keep lineage short in memory-only mode
-            state = CrawlState(
-                state.round_no,
-                state.frontier.localCheckpoint(eager=True),
-                state.seen.localCheckpoint(eager=True),
-                state.host_fetched.localCheckpoint(eager=True),
+            # memory-only mode, minimal jobs per round:
+            #  - frontier: materialize + cut lineage (it mutates every round)
+            #  - host_fetched: tiny — collect to the driver and recreate
+            #  - seen: pure append of the (already cached) new segment; the
+            #    union plan stays shallow, nothing re-materializes
+            frontier = state.frontier.localCheckpoint(eager=True)
+            host_rows = [(r["host"], r["fetched"]) for r in state.host_fetched.collect()]
+            total_fetched = sum(f for _, f in host_rows)
+            result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
+            prev_fetched_total = total_fetched
+            host_fetched = (
+                spark.createDataFrame(host_rows, "host string, fetched long")
+                if host_rows
+                else spark.createDataFrame([], "host string, fetched long")
             )
+            state = CrawlState(state.round_no, frontier, state.seen, host_fetched)
+            empty_frontier = result.metrics.get("urls_enqueued") == 0 and frontier.isEmpty()
+            for df in result.cached[:-1]:  # keep new_unique: the seen set references it
+                df.unpersist()
     return CrawlRun(state, all_metrics)

@@ -45,18 +45,28 @@ def per_host_top_k(
     )
 
 
-def zip_with_order(df: DataFrame, order_cols: list[str], name: str = "ord_k") -> DataFrame:
+def zip_with_order(
+    df: DataFrame, order_cols: list[str], name: str = "ord_k"
+) -> tuple[DataFrame, int, DataFrame]:
     """Add a dense 1-based rank following the global order of ``order_cols``
-    without funneling all rows through one window partition."""
+    without funneling all rows through one window partition. Returns
+    (ranked_df, total_rows, cached_intermediate) — the total falls out of the
+    offset computation for free (no extra count job); the caller owns
+    unpersisting the cached intermediate once downstream state is
+    checkpointed.
+
+    The input should be cached by the caller: the offsets collect is the
+    action that materializes it."""
     spark = df.sparkSession
     n_part = max(spark.sparkContext.defaultParallelism, 1)
     keyed = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *[F.col(c) for c in order_cols]
     )
     with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    with_pid.cache()
     w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     local = with_pid.withColumn("_lrank", F.row_number().over(w_local))
-    sizes = {r["_pid"]: r["c"] for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    sizes = {r["_pid"]: r["c"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
     offsets = {}
     acc = 0
     for pid in sorted(sizes):
@@ -69,6 +79,7 @@ def zip_with_order(df: DataFrame, order_cols: list[str], name: str = "ord_k") ->
         local = local.join(F.broadcast(off_df), "_pid", "left")
     else:
         local = local.withColumn("_off", F.lit(0).cast("long"))
-    return local.withColumn(name, (F.col("_off") + F.col("_lrank")).cast("long")).drop(
+    out = local.withColumn(name, (F.col("_off") + F.col("_lrank")).cast("long")).drop(
         "_pid", "_lrank", "_off"
     )
+    return out, acc, with_pid

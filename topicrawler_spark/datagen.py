@@ -60,11 +60,12 @@ class SyntheticCorpus:
 
 
 def _page_html(rng: random.Random, topicality: float, links: list[str]) -> str:
-    n_paras = rng.randint(1, 4)
+    # page sizes roughly matching real crawl text volumes (tens of sentences)
+    n_paras = rng.randint(2, 6)
     paras = []
     for _ in range(n_paras):
         sents = []
-        for _ in range(rng.randint(2, 6)):
+        for _ in range(rng.randint(4, 10)):
             vocab = TOPIC_VOCAB if rng.random() < topicality else OFFTOPIC_VOCAB
             sents.append(_sentence(rng, vocab))
         paras.append("<p>\n" + "\n".join(sents) + "\n</p>")
