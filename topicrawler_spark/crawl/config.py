@@ -36,6 +36,17 @@ class CrawlConfig:
     language_code: str = "default"
     seed_perplexity: float = 2.0
     n_salt: int = 16  # politeness-ranking salt buckets (host-skew defense)
+    # below this frontier size the salted pre-rank stage costs more than the
+    # skew it defends against; the driver passes a size hint per round
+    salt_min_frontier: int = 2_000_000
+    # batch analogue of Heritrix's inactive-queue activation by best queue
+    # precedence: only the N best hosts (by min precedence, then name) are
+    # active per round; None = all hosts active
+    max_active_hosts: int | None = None
+    precedence_floor: int = 255  # queues at/above this precedence never activate
+    hygiene_filters: bool = True  # pathological-path / too-many-segments rules
+    surt_prefixes: tuple[str, ...] | None = None  # seeds-as-SURT-prefixes scope
+    max_domains: int | None = None  # TooManyDomainsDecideRule (declarative)
 
     def host_quota(self, delay_ms: int) -> int:
         if self.per_host_quota is not None:

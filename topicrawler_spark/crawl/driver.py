@@ -47,16 +47,24 @@ def run_crawl(
 
     scorer_bc = spark.sparkContext.broadcast(scorer)
     robots_bc = build_robots_broadcast(spark, pages, cfg)
+    from topicrawler_spark.crawl.round import prepare_pages
+
+    pages = prepare_pages(pages).persist()
 
     all_metrics: list[dict] = []
     prev_fetched_total = 0
     empty_frontier = False
+    frontier_hint: int | None = 0
     for _ in range(state.round_no, rounds):
         if empty_frontier or state.frontier.isEmpty():
             break
         state, result = run_round(
-            spark, state, pages, scorer_bc, robots_bc, cfg, collect_metrics=collect_metrics
+            spark, state, pages, scorer_bc, robots_bc, cfg,
+            collect_metrics=collect_metrics, frontier_size_hint=frontier_hint,
         )
+        # running upper bound on frontier size: everything ever enqueued
+        enq = result.metrics.get("urls_enqueued", result.metrics.get("urls_new", 0)) or 0
+        frontier_hint = None if frontier_hint is None else frontier_hint + enq
         all_metrics.append(result.metrics)
         if store is not None:
             store.commit_round(state, result)

@@ -30,15 +30,18 @@ def per_host_top_k(
 ) -> DataFrame:
     """Rows with per-host rank <= row's ``k_col``, plus the rank column."""
     order = [F.col(c).asc() for c in order_cols]
-    salted = frontier.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salt))
-    )
-    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
-    pre = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col(k_col))
-        .drop("_salt", "_r1")
-    )
+    if n_salt > 1:
+        salted = frontier.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salt))
+        )
+        w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+        pre = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= F.col(k_col))
+            .drop("_salt", "_r1")
+        )
+    else:
+        pre = frontier  # small frontiers: the pre-rank stage is pure overhead
     w2 = Window.partitionBy(host_col).orderBy(*order)
     return pre.withColumn(rank_name, F.row_number().over(w2)).filter(
         F.col(rank_name) <= F.col(k_col)

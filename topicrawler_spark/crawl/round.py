@@ -108,6 +108,25 @@ def make_robots_allow_udf(robots_bc, respect: bool = True):
     return robots_allows
 
 
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """One-time page-store preparation: key the content by *canonical* URL.
+
+    The crawler fetches by canonical URL (candidates arrive in arbitrary
+    spellings — www prefixes, session ids, case — that all resolve to the
+    same resource). When several stored spellings share a canonical URL the
+    lexicographically smallest original URL wins, deterministically.
+
+    Run ONCE per crawl (cache or persist the result); at warehouse scale this
+    is the job that writes the url_hash-bucketed pages table the per-round
+    fetch join is co-partitioned against.
+    """
+    return (
+        pages.select(canonical_url(F.col("url")).alias("_page_canon"), "url", "html")
+        .groupBy("_page_canon")
+        .agg(F.min_by("html", "url").alias("html"))
+    )
+
+
 def init_state(
     spark: SparkSession, seeds: list[str], cfg: CrawlConfig | None = None
 ) -> CrawlState:
@@ -150,9 +169,14 @@ def run_round(
     robots_bc,
     cfg: CrawlConfig | None = None,
     collect_metrics: bool = True,
+    frontier_size_hint: int | None = None,
 ) -> tuple[CrawlState, RoundResult]:
     cfg = cfg or CrawlConfig()
     round_no = state.round_no + 1
+    # host-skew salting is only worth its extra shuffle on large frontiers
+    n_salt = cfg.n_salt
+    if frontier_size_hint is not None and frontier_size_hint < cfg.salt_min_frontier:
+        n_salt = 1
 
     # ---- 1. politeness admission (salted per-host top-k + queue budget) ----
     delays = {h: d for h, (d, _) in robots_bc.value.items()}
@@ -176,7 +200,19 @@ def run_round(
             ),
         )
     )
-    admitted = per_host_top_k(fr, "k", ORDER_COLS, n_salt=cfg.n_salt).drop(
+    fr = fr.filter(F.col("precedence") < cfg.precedence_floor)
+    if cfg.max_active_hosts is not None:
+        # host selection order: activate the best queues first (min uri
+        # precedence, ties by host name) — HighestUriQueuePrecedencePolicy
+        active = (
+            fr.groupBy("host")
+            .agg(F.min("precedence").alias("_hp"))
+            .orderBy("_hp", "host")
+            .limit(cfg.max_active_hosts)
+            .select("host")
+        )
+        fr = fr.join(F.broadcast(active), "host", "left_semi")
+    admitted = per_host_top_k(fr, "k", ORDER_COLS, n_salt=n_salt).drop(
         "quota", "fetched", "k"
     )
     admitted.cache()
@@ -190,12 +226,10 @@ def run_round(
         F.lit(round_no).alias("round"), "host", F.col("host_rank"), "canon", "url"
     )
 
-    # ---- 2. fetch: join the pages table; prune columns aggressively --------
+    # ---- 2. fetch: join the prepared page store on the canonical URL ------
     fetched = admitted.join(
-        pages.select(F.col("url").alias("_page_url"), "html"),
-        admitted["url"] == F.col("_page_url"),
-        "left",
-    ).drop("_page_url")
+        pages, admitted["canon"] == pages["_page_canon"], "left"
+    ).drop("_page_canon")
     is_robots = F.col("canon").endswith("/robots.txt")
     got_page = F.col("html").isNotNull()
 
@@ -243,10 +277,32 @@ def run_round(
         & ~F.col("canon").rlike(cfg.reject_extensions)
         & F.col("canon").rlike(r"^https?://")
     )
+    if cfg.hygiene_filters:
+        from topicrawler_spark.functions.surt import PATHOLOGICAL_PATH, TOO_MANY_SEGMENTS
+
+        cands = cands.filter(
+            ~F.col("canon").rlike(PATHOLOGICAL_PATH) & ~F.col("canon").rlike(TOO_MANY_SEGMENTS)
+        )
+    if cfg.surt_prefixes:
+        from topicrawler_spark.functions.surt import in_surt_scope
+
+        cands = cands.filter(in_surt_scope(F.col("canon"), list(cfg.surt_prefixes)))
     cands = cands.withColumn("host", host_classkey(F.col("canon"))).filter(F.col("host") != "")
     if cfg.scope_hosts is not None:
         scope = spark.createDataFrame([(h,) for h in sorted(cfg.scope_hosts)], "host string")
         cands = cands.join(F.broadcast(scope), "host", "left_semi")
+    if cfg.max_domains is not None:
+        from topicrawler_spark.functions.canonicalize import second_level_domain
+
+        allowed = (
+            cands.select(second_level_domain(F.col("host")).alias("_sld"))
+            .distinct()
+            .orderBy("_sld")
+            .limit(cfg.max_domains)
+        )
+        cands = cands.withColumn("_sld", second_level_domain(F.col("host"))).join(
+            F.broadcast(allowed), "_sld", "left_semi"
+        ).drop("_sld")
 
     directive, cost = apply_priority(
         F.col("via_perp"),
@@ -260,14 +316,16 @@ def run_round(
         .filter(F.col("directive") >= 0)
     )
 
-    # in-round dedup: first discovery (parent order, link index) wins
+    # in-round dedup: first discovery (parent order, link index) wins.
+    # Keyed on the 64-bit fingerprint so the window shuffle and the following
+    # seen anti-join share one exchange (same hash partitioning, no reshuffle).
     from pyspark.sql import Window
 
-    w = Window.partitionBy("canon").orderBy("p_ord_r", "p_ord_k", "link_idx")
+    cands = cands.withColumn("url_hash", url_hash64(F.col("canon")))
+    w = Window.partitionBy("url_hash").orderBy("p_ord_r", "p_ord_k", "link_idx")
     cands = cands.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    # seen-set dedup: left-anti join on the 64-bit fingerprint
-    cands = cands.withColumn("url_hash", url_hash64(F.col("canon")))
+    # seen-set dedup: left-anti join on the fingerprint
     new_unique = cands.join(
         state.seen.select(F.col("url_hash").alias("_seen_h")),
         cands["url_hash"] == F.col("_seen_h"),

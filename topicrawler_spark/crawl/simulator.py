@@ -60,9 +60,21 @@ class CrawlSimulator:
         config: CrawlConfig | None = None,
     ) -> None:
         self.pages = pages
+        # page store keyed by canonical URL; smallest original spelling wins
+        # (prepare_pages semantics)
+        self.pages_by_canon: dict[str, bytes] = {}
+        for url in sorted(pages):
+            canon = canonicalize_py(url)
+            if canon not in self.pages_by_canon:
+                self.pages_by_canon[canon] = pages[url]
         self.scorer = scorer
         self.cfg = config or CrawlConfig()
         self._reject_re = re.compile(self.cfg.reject_extensions)
+        from topicrawler_spark.functions.surt import PATHOLOGICAL_PATH, TOO_MANY_SEGMENTS, surt_py
+
+        self._patho_re = re.compile(PATHOLOGICAL_PATH)
+        self._toomany_re = re.compile(TOO_MANY_SEGMENTS)
+        self._surt = surt_py
         self._robots: dict[str, object] = {}
         self.state = SimState()
 
@@ -122,14 +134,30 @@ class CrawlSimulator:
             by_host.setdefault(e.host, []).append(e)
         admitted: list[FrontierEntry] = []
         remaining: list[FrontierEntry] = []
+        active_hosts: set[str] | None = None
+        if cfg.max_active_hosts is not None:
+            ranked = sorted(
+                (
+                    (min(e.precedence for e in entries if e.precedence < cfg.precedence_floor), host)
+                    for host, entries in by_host.items()
+                    if any(e.precedence < cfg.precedence_floor for e in entries)
+                ),
+            )
+            active_hosts = {h for _, h in ranked[: cfg.max_active_hosts]}
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (e.directive, e.precedence, e.ordinal))
+            eligible = [e for e in entries if e.precedence < cfg.precedence_floor]
+            floored = [e for e in entries if e.precedence >= cfg.precedence_floor]
+            if active_hosts is not None and host not in active_hosts:
+                remaining.extend(entries)
+                continue
             delay = st.host_delay_ms.get(host, cfg.min_delay_ms)
             quota = cfg.host_quota(delay)
             budget = cfg.queue_total_budget - st.host_fetched.get(host, 0)
             k = max(0, min(quota, budget))
-            admitted.extend(entries[:k])
-            remaining.extend(entries[k:])
+            admitted.extend(eligible[:k])
+            remaining.extend(eligible[k:])
+            remaining.extend(floored)
         st.frontier = remaining
 
         # deterministic fetch order: by host then per-host rank
@@ -141,7 +169,7 @@ class CrawlSimulator:
             r = rank_in_host.get(e.host, 0) + 1
             rank_in_host[e.host] = r
             st.fetch_log.append((round_no, e.host, r, e.canon))
-            body = self.pages.get(e.url) or self.pages.get(e.canon)
+            body = self.pages_by_canon.get(e.canon)
             if body is None:
                 continue  # fetch failure: no budget charge, no expansion
             st.host_fetched[e.host] = st.host_fetched.get(e.host, 0) + 1
@@ -157,6 +185,30 @@ class CrawlSimulator:
 
         # 2. candidate chain: scope -> priority -> dedup -> robots -> schedule
         candidates.sort(key=lambda t: (t[0], t[1]))
+        allowed_slds: set[str] | None = None
+        if cfg.max_domains is not None:
+            from topicrawler_spark.functions.canonicalize import second_level_domain_py
+
+            slds = set()
+            for _, _, url, _, _, hops in candidates:
+                if hops > cfg.max_hops:
+                    continue
+                canon = canonicalize_py(url)
+                if self._reject_re.match(canon):
+                    continue
+                if cfg.hygiene_filters and (
+                    self._patho_re.match(canon) or self._toomany_re.match(canon)
+                ):
+                    continue
+                if cfg.surt_prefixes and not any(
+                    self._surt(canon).startswith(p) for p in cfg.surt_prefixes
+                ):
+                    continue
+                host = host_classkey_py(canon)
+                if not host or (cfg.scope_hosts is not None and host not in cfg.scope_hosts):
+                    continue
+                slds.add(second_level_domain_py(host))
+            allowed_slds = set(sorted(slds)[: cfg.max_domains])
         scheduled = 0
         for parent_ord, idx, url, via, via_perp, hops in candidates:
             if hops > cfg.max_hops:
@@ -164,11 +216,24 @@ class CrawlSimulator:
             canon = canonicalize_py(url)
             if self._reject_re.match(canon):
                 continue
+            if cfg.hygiene_filters and (
+                self._patho_re.match(canon) or self._toomany_re.match(canon)
+            ):
+                continue
+            if cfg.surt_prefixes and not any(
+                self._surt(canon).startswith(p) for p in cfg.surt_prefixes
+            ):
+                continue
             host = host_classkey_py(canon)
             if not host:
                 continue
             if cfg.scope_hosts is not None and host not in cfg.scope_hosts:
                 continue
+            if allowed_slds is not None:
+                from topicrawler_spark.functions.canonicalize import second_level_domain_py
+
+                if second_level_domain_py(host) not in allowed_slds:
+                    continue
             d, c = apply_priority_py(
                 via_perp, boundaries=cfg.boundaries,
                 maxvalue=cfg.maxvalue, max_precedence=cfg.max_precedence,

@@ -46,9 +46,30 @@ def _char_types(text: str) -> np.ndarray:
     return types
 
 
-@lru_cache(maxsize=4096)
-def _infer_cached(type_key: frozenset) -> SegmentType:
-    return infer_type(type_key)
+_mask_memo: dict[int, SegmentType] = {}
+
+
+def _type_for_mask(mask: int) -> SegmentType:
+    """Segment type for a bitmask of char types (bit i <=> type i present)."""
+    st = _mask_memo.get(mask)
+    if st is None:
+        types = frozenset(i for i in range(_N_TYPES) if mask & (1 << i))
+        st = infer_type(types)
+        _mask_memo[mask] = st
+    return st
+
+
+def _segments(text: str, types: np.ndarray, cuts: np.ndarray) -> list[tuple[str, SegmentType]]:
+    """Slice + classify segments; one vectorized OR-reduce for the types."""
+    bits = np.left_shift(np.int64(1), types.astype(np.int64))
+    masks = np.bitwise_or.reduceat(bits, cuts[:-1])
+    ends = cuts[1:]
+    out: list[tuple[str, SegmentType]] = []
+    for i in range(len(masks)):
+        a = int(cuts[i])
+        b = int(ends[i])
+        out.append((text[a:b], _type_for_mask(int(masks[i]))))
+    return out
 
 
 def diff_tokenize(text: str) -> list[tuple[str, SegmentType]]:
@@ -62,15 +83,11 @@ def diff_tokenize(text: str) -> list[tuple[str, SegmentType]]:
     space = _SPACE_LUT[types]
     wwn = _WWN_LUT[types]
     if len(text) == 1:
-        cuts = [0, 1]
+        cuts = np.array([0, 1])
     else:
         brk = np.nonzero((space[:-1] != space[1:]) | (wwn[:-1] != wwn[1:]))[0] + 1
-        cuts = [0, *brk.tolist(), len(text)]
-    out: list[tuple[str, SegmentType]] = []
-    for a, b in zip(cuts, cuts[1:]):
-        seg_types = frozenset(np.unique(types[a:b]).tolist())
-        out.append((text[a:b], _infer_cached(seg_types)))
-    return out
+        cuts = np.concatenate(([0], brk, [len(text)]))
+    return _segments(text, types, cuts)
 
 
 def empty_space_tokenize(text: str) -> list[tuple[str, SegmentType]]:
@@ -84,15 +101,11 @@ def empty_space_tokenize(text: str) -> list[tuple[str, SegmentType]]:
     types = _char_types(text)
     space = _SPACE_LUT[types]
     if len(text) == 1:
-        cuts = [0, 1]
+        cuts = np.array([0, 1])
     else:
         brk = np.nonzero(space[:-1] != space[1:])[0] + 1
-        cuts = [0, *brk.tolist(), len(text)]
-    out: list[tuple[str, SegmentType]] = []
-    for a, b in zip(cuts, cuts[1:]):
-        seg_types = frozenset(np.unique(types[a:b]).tolist())
-        out.append((text[a:b], _infer_cached(seg_types)))
-    return out
+        cuts = np.concatenate(([0], brk, [len(text)]))
+    return _segments(text, types, cuts)
 
 
 # ---------------------------------------------------------------------------
