@@ -13,11 +13,16 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
-def events_path():
+def events_path(tmp_path_factory):
     p = os.path.join(TESTDATA, "events.parquet")
     if not os.path.exists(p):
         pytest.skip("testdata unavailable")
-    return p
+    # streaming file sources need a directory
+    d = tmp_path_factory.mktemp("events_dir")
+    import shutil
+
+    shutil.copy(p, d / "events.parquet")
+    return str(d)
 
 
 def test_windowed_counts_stream_equals_batch(spark, events_path, tmp_path):
@@ -32,7 +37,7 @@ def test_windowed_counts_stream_equals_batch(spark, events_path, tmp_path):
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.dirname(events_path) if events_path.endswith(".parquet") and os.path.isdir(events_path) else events_path)
+        .parquet(events_path)
     )
     q = (
         windowed_event_counts(stream)

@@ -31,6 +31,7 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Tumbling-window counts with late-data tolerance. Works identically on
     batch and streaming DataFrames (same API — that's the point)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
@@ -122,6 +123,7 @@ def sessionize_stream(
             ]
         )
 
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.col(user_col))
