@@ -39,6 +39,9 @@ class CrawlConfig:
     # below this frontier size the salted pre-rank stage costs more than the
     # skew it defends against; the driver passes a size hint per round
     salt_min_frontier: int = 2_000_000
+    # above this seen-set size the per-round driver collect+rebroadcast of
+    # the seen set costs more (serially!) than a parallel shuffle anti-join
+    seen_broadcast_max: int = 50_000
     # batch analogue of Heritrix's inactive-queue activation by best queue
     # precedence: only the N best hosts (by min precedence, then name) are
     # active per round; None = all hosts active

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
@@ -56,12 +56,69 @@ class CrawlState:
 
 
 @dataclass
+class RoundOps:
+    """Per-crawl constants: column expressions and pandas UDFs.
+
+    Column trees and UDF objects are built through py4j on the driver; the
+    canonicalization chain alone is a ~100-node expression tree costing
+    ~200 ms to construct. Rebuilding these every round is pure *serial*
+    driver time (it scales with rounds, not cores), so the driver builds
+    them once per crawl and every round reuses them.
+    """
+
+    canon_of_url: Column
+    host_of_canon: Column
+    hash_of_canon: Column
+    cand_keep: Column  # scope/hygiene predicate over (hops, canon)
+    directive: Column  # priority mapping over via_perp
+    precedence: Column
+    scoring_text_udf: object
+    perp_udf: object
+    robots_udf: object
+
+
+def build_round_ops(cfg: CrawlConfig, scorer_bc, robots_bc) -> RoundOps:
+    canon = F.col("canon")
+    keep = (
+        (F.col("hops") <= cfg.max_hops)
+        & ~canon.rlike(cfg.reject_extensions)
+        & canon.rlike(r"^https?://")
+    )
+    if cfg.hygiene_filters:
+        from topicrawler_spark.functions.surt import PATHOLOGICAL_PATH, TOO_MANY_SEGMENTS
+
+        keep = keep & ~canon.rlike(PATHOLOGICAL_PATH) & ~canon.rlike(TOO_MANY_SEGMENTS)
+    if cfg.surt_prefixes:
+        from topicrawler_spark.functions.surt import in_surt_scope
+
+        keep = keep & in_surt_scope(canon, list(cfg.surt_prefixes))
+    directive, cost = apply_priority(
+        F.col("via_perp"),
+        boundaries=cfg.boundaries,
+        maxvalue=cfg.maxvalue,
+        max_precedence=cfg.max_precedence,
+    )
+    return RoundOps(
+        canon_of_url=canonical_url(F.col("url")),
+        host_of_canon=host_classkey(canon),
+        hash_of_canon=url_hash64(canon),
+        cand_keep=keep,
+        directive=directive,
+        precedence=cost,
+        scoring_text_udf=make_scoring_text_udf("ext"),
+        perp_udf=make_perplexity_udf(scorer_bc),
+        robots_udf=make_robots_allow_udf(robots_bc, cfg.respect_robots),
+    )
+
+
+@dataclass
 class RoundResult:
     fetch_log: DataFrame  # round, host, host_rank, canon, url
     results: DataFrame  # url, canon, host, perp, text, plain_abbrv
     metrics: dict
     partition_metrics: DataFrame
     cached: tuple = ()  # cached intermediates; unpersist after state commit
+    enqueued: DataFrame | None = None  # the newly enqueued rows (lazy)
 
 
 def build_robots_broadcast(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig):
@@ -170,13 +227,20 @@ def run_round(
     cfg: CrawlConfig | None = None,
     collect_metrics: bool = True,
     frontier_size_hint: int | None = None,
+    ops: RoundOps | None = None,
 ) -> tuple[CrawlState, RoundResult]:
     cfg = cfg or CrawlConfig()
+    ops = ops or build_round_ops(cfg, scorer_bc, robots_bc)
     round_no = state.round_no + 1
-    # host-skew salting is only worth its extra shuffle on large frontiers
-    n_salt = cfg.n_salt
-    if frontier_size_hint is not None and frontier_size_hint < cfg.salt_min_frontier:
-        n_salt = 1
+    # Small-frontier regime (driver passes a size upper bound): skip the
+    # salted pre-rank (host-skew defense costs more than it saves) and
+    # broadcast the admitted/seen sides of the round's joins so the big
+    # page store is never shuffled. At 10^10-frontier scale the hint exceeds
+    # the threshold and every join falls back to the shuffle/bucketed path.
+    small_round = (
+        frontier_size_hint is not None and frontier_size_hint < cfg.salt_min_frontier
+    )
+    n_salt = 1 if small_round else cfg.n_salt
 
     # ---- 1. politeness admission (salted per-host top-k + queue budget) ----
     delays = {h: d for h, (d, _) in robots_bc.value.items()}
@@ -216,8 +280,11 @@ def run_round(
         "quota", "fetched", "k"
     )
     admitted.cache()
+    # per round the admitted set is bounded by sum(host quotas) — a broadcast
+    # dimension relative to the frontier it is subtracted from
+    adm_b = F.broadcast(admitted) if small_round else admitted
     remaining = state.frontier.join(
-        admitted.select("url_hash").withColumnRenamed("url_hash", "_h"),
+        adm_b.select("url_hash").withColumnRenamed("url_hash", "_h"),
         state.frontier["url_hash"] == F.col("_h"),
         "left_anti",
     )
@@ -227,28 +294,37 @@ def run_round(
     )
 
     # ---- 2. fetch: join the prepared page store on the canonical URL ------
-    fetched = admitted.join(
-        pages, admitted["canon"] == pages["_page_canon"], "left"
+    # Inner join: an admitted URL with no stored page is a failed fetch; it
+    # already left the frontier via `remaining` and is in `fetch_log`, so
+    # dropping it here is exactly the reference's fetch-failure disposition.
+    # Streaming the (heavy, html-bearing) page store against a broadcast of
+    # the admitted set means the store is never shuffled; at warehouse scale
+    # (admitted too big to broadcast) this becomes the url_hash-bucketed
+    # co-partitioned join instead.
+    fetched = pages.join(
+        adm_b, pages["_page_canon"] == admitted["canon"], "inner"
     ).drop("_page_canon")
     is_robots = F.col("canon").endswith("/robots.txt")
     got_page = F.col("html").isNotNull()
 
     # ---- 3. score + expand in ONE Arrow pass over html, then drop it -------
-    scoring_text = make_scoring_text_udf("ext")
-    perp_udf = make_perplexity_udf(scorer_bc)
     scored = (
-        fetched.withColumn(
-            "text", F.when(got_page & ~is_robots, scoring_text(F.col("html"))).otherwise(F.lit(None))
+        fetched.withColumns(
+            {
+                "text": F.when(
+                    got_page & ~is_robots, ops.scoring_text_udf(F.col("html"))
+                ).otherwise(F.lit(None)),
+                "outlinks": F.when(
+                    got_page & ~is_robots, extract_outlinks_udf(F.col("html"), F.col("url"))
+                ).otherwise(F.array().cast("array<struct<url:string,hop:string>>")),
+                "fetch_ok": got_page,
+            }
         )
-        .withColumn(
-            "outlinks",
-            F.when(got_page & ~is_robots, extract_outlinks_udf(F.col("html"), F.col("url"))).otherwise(
-                F.array().cast("array<struct<url:string,hop:string>>")
-            ),
-        )
-        .withColumn("fetch_ok", got_page)
         .drop("html")
-        .withColumn("perp", F.when(F.col("text").isNotNull(), perp_udf(F.col("text"))).otherwise(F.lit(None)))
+        .withColumn(
+            "perp",
+            F.when(F.col("text").isNotNull(), ops.perp_udf(F.col("text"))).otherwise(F.lit(None)),
+        )
     )
     scored.cache()
 
@@ -270,24 +346,20 @@ def run_round(
         .select("p_ord_r", "p_ord_k", "via", "via_perp", "hops", "link_idx", F.col("link.url").alias("url"))
     )
 
-    canon = canonical_url(F.col("url"))
-    cands = cands.withColumn("canon", canon)
-    cands = cands.filter(
-        (F.col("hops") <= cfg.max_hops)
-        & ~F.col("canon").rlike(cfg.reject_extensions)
-        & F.col("canon").rlike(r"^https?://")
-    )
-    if cfg.hygiene_filters:
-        from topicrawler_spark.functions.surt import PATHOLOGICAL_PATH, TOO_MANY_SEGMENTS
-
-        cands = cands.filter(
-            ~F.col("canon").rlike(PATHOLOGICAL_PATH) & ~F.col("canon").rlike(TOO_MANY_SEGMENTS)
+    # scope rules fused into two transformations: one select introducing the
+    # canonicalized URL, one combined predicate + host/hash projection — every
+    # extra withColumn/filter re-runs the analyzer over the whole plan, which
+    # is serial driver time on the widest dataflow of the crawl
+    cands = (
+        cands.select("*", ops.canon_of_url.alias("canon"))
+        .filter(ops.cand_keep)
+        .select(
+            "*",
+            ops.host_of_canon.alias("host"),
+            ops.hash_of_canon.alias("url_hash"),
         )
-    if cfg.surt_prefixes:
-        from topicrawler_spark.functions.surt import in_surt_scope
-
-        cands = cands.filter(in_surt_scope(F.col("canon"), list(cfg.surt_prefixes)))
-    cands = cands.withColumn("host", host_classkey(F.col("canon"))).filter(F.col("host") != "")
+        .filter(F.col("host") != "")
+    )
     if cfg.scope_hosts is not None:
         scope = spark.createDataFrame([(h,) for h in sorted(cfg.scope_hosts)], "host string")
         cands = cands.join(F.broadcast(scope), "host", "left_semi")
@@ -304,30 +376,33 @@ def run_round(
             F.broadcast(allowed), "_sld", "left_semi"
         ).drop("_sld")
 
-    directive, cost = apply_priority(
-        F.col("via_perp"),
-        boundaries=cfg.boundaries,
-        maxvalue=cfg.maxvalue,
-        max_precedence=cfg.max_precedence,
-    )
-    cands = (
-        cands.withColumn("directive", directive)
-        .withColumn("precedence", cost)
-        .filter(F.col("directive") >= 0)
-    )
+    cands = cands.select(
+        "*", ops.directive.alias("directive"), ops.precedence.alias("precedence")
+    ).filter(F.col("directive") >= 0)
 
     # in-round dedup: first discovery (parent order, link index) wins.
     # Keyed on the 64-bit fingerprint so the window shuffle and the following
     # seen anti-join share one exchange (same hash partitioning, no reshuffle).
     from pyspark.sql import Window
 
-    cands = cands.withColumn("url_hash", url_hash64(F.col("canon")))
     w = Window.partitionBy("url_hash").orderBy("p_ord_r", "p_ord_k", "link_idx")
     cands = cands.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    # seen-set dedup: left-anti join on the fingerprint
+    # seen-set dedup: left-anti join on the fingerprint. Tiny crawls keep
+    # the whole seen set broadcastable; past seen_broadcast_max the driver
+    # collect+rebroadcast is serial time every round, so the join flips to a
+    # parallel shuffle anti-join (cands are already hash-partitioned on
+    # url_hash by the dedup window — only the seen side exchanges). At 10^10
+    # URLs this is the bucketed anti-join against the url_hash-partitioned
+    # seen table.
+    bcast_seen = (
+        frontier_size_hint is not None and frontier_size_hint < cfg.seen_broadcast_max
+    )
+    seen_side = (
+        F.broadcast(state.seen) if bcast_seen else state.seen
+    ).select(F.col("url_hash").alias("_seen_h"))
     new_unique = cands.join(
-        state.seen.select(F.col("url_hash").alias("_seen_h")),
+        seen_side,
         cands["url_hash"] == F.col("_seen_h"),
         "left_anti",
     )
@@ -339,13 +414,24 @@ def run_round(
     # (at scale: an Iceberg append to the url_hash-bucketed seen table).
     seen_new = state.seen.unionByName(new_unique.select("url_hash", "canon"))
 
-    robots_allow = make_robots_allow_udf(robots_bc, cfg.respect_robots)
-    enq = new_unique.filter(robots_allow(F.col("host"), F.col("canon")))
+    enq = new_unique.filter(ops.robots_udf(F.col("host"), F.col("canon")))
+    enq_pre_ordinal = enq  # row-identical to enq; counting it skips the window
 
-    # deterministic ordinal: dense rank over (parent ordinal, link index)
-    enq, n_enqueued, _zip_cached = zip_with_order(
-        enq, ["p_ord_r", "p_ord_k", "link_idx"], name="ord_k"
-    )
+    # deterministic ordinal: dense rank over (parent ordinal, link index).
+    # Small rounds: one global window (single reducer — fine below the salt
+    # threshold) keeps run_round free of actions, so a whole round executes
+    # as ONE Spark query at state-commit time. Large rounds: the two-phase
+    # distributed rank (no single reducer, at the cost of one collect).
+    if small_round:
+        w_ord = Window.orderBy("p_ord_r", "p_ord_k", "link_idx")
+        enq = enq.withColumn("ord_k", F.row_number().over(w_ord).cast("long"))
+        n_enqueued = None
+        zip_cached: tuple = ()
+    else:
+        enq, n_enqueued, _zc = zip_with_order(
+            enq, ["p_ord_r", "p_ord_k", "link_idx"], name="ord_k"
+        )
+        zip_cached = (_zc,)
     frontier_next = remaining.unionByName(
         enq.select(
             "url",
@@ -403,14 +489,17 @@ def run_round(
             .withColumn("round", F.lit(round_no))
         )
     else:
-        # bench mode: throughput counters only — urls enqueued falls out of
-        # the ordinal ranking for free; fetched comes from the (tiny)
-        # host_fetched table at checkpoint time, so no extra jobs here
+        # bench mode: throughput counters only. Large rounds: the enqueue
+        # total falls out of the two-phase ordinal ranking for free; small
+        # rounds stay fully lazy (None) and the driver counts the cached
+        # enqueued segment after the round query runs. `fetched` comes from
+        # the (tiny) host_fetched table at checkpoint time.
         metrics = {"round": round_no, "urls_enqueued": n_enqueued}
         partition_metrics = spark.createDataFrame([], "partition_id int, rows long, round int")
 
     new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched)
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
-        cached=(admitted, scored, _zip_cached, new_unique),
+        cached=(admitted, scored) + zip_cached + (new_unique,),
+        enqueued=enq_pre_ordinal,
     )

@@ -159,22 +159,44 @@ def generate_corpus(
             rng, 0.9, [urls[i]]
         ).encode("utf-8")
 
-    # seeds: most-topical pages on distinct hosts
+    # seeds: pages spread round-robin over hosts; when n_seeds > n_hosts the
+    # list deepens per host (large seed lists are the norm for focused
+    # crawls — Heritrix seed files routinely hold 10^4..10^6 URLs)
+    per_host: dict[int, list[str]] = {h: [] for h in range(n_hosts)}
+    for u in urls:
+        per_host[url_host[u]].append(u)
     seeds = []
-    for h in range(min(n_seeds, n_hosts)):
-        cands = [u for u in urls if url_host[u] == h]
-        if cands:
-            seeds.append(cands[0])
+    depth = 0
+    while len(seeds) < n_seeds and depth < n_pages:
+        added = False
+        for h in range(n_hosts):
+            lst = per_host[h]
+            if depth < len(lst):
+                seeds.append(lst[depth])
+                added = True
+                if len(seeds) >= n_seeds:
+                    break
+        if not added:
+            break
+        depth += 1
 
     return SyntheticCorpus(pages=pages, seeds=seeds, hosts=hosts, meta={"seed": seed})
 
 
 def pages_dataframe(spark, corpus: SyntheticCorpus, base_ts: str = "2024-12-20 00:00:00"):
-    """The corpus as the canonical ``pages`` input table."""
+    """The corpus as the canonical ``pages`` input table (Arrow-path load)."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    rows = [(url, i, bytearray(html)) for i, (url, html) in enumerate(sorted(corpus.pages.items()))]
-    df = spark.createDataFrame(rows, "url string, _i long, html binary")
+    items = sorted(corpus.pages.items())
+    pdf = pd.DataFrame(
+        {
+            "url": [u for u, _ in items],
+            "_i": range(len(items)),
+            "html": [h for _, h in items],
+        }
+    )
+    df = spark.createDataFrame(pdf, "url string, _i long, html binary")
     return df.select(
         "url",
         (F.to_timestamp(F.lit(base_ts)) + F.make_interval(secs=F.col("_i"))).alias("warc_ts"),
