@@ -61,10 +61,12 @@ def main() -> None:
     low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     env = {
-        "BENCH_PAGES": os.environ.get("BENCH_PAGES", "60000"),
-        "BENCH_SEEDS": os.environ.get("BENCH_SEEDS", "1200"),
+        # sized so parallel scoring work dominates the per-round fixed cost
+        # (stage-scheduling latency) by >20x at the low parallelism level
+        "BENCH_PAGES": os.environ.get("BENCH_PAGES", "150000"),
+        "BENCH_SEEDS": os.environ.get("BENCH_SEEDS", "3000"),
         "BENCH_ROUNDS": os.environ.get("BENCH_ROUNDS", "5"),
-        "BENCH_QUOTA": os.environ.get("BENCH_QUOTA", "100"),
+        "BENCH_QUOTA": os.environ.get("BENCH_QUOTA", "125"),
         "SPARK_GRAFT_SF_DIR": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     }
     hw_low = hw_rate(low)

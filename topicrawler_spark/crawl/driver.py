@@ -64,7 +64,10 @@ def run_crawl(
     prev_fetched_total = 0
     empty_frontier = False
     frontier_hint: int | None = 0
+    host_fetched_map: dict[str, int] | None = {}
     aqe_orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_orig = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    cores = spark.sparkContext.defaultParallelism
     for _ in range(state.round_no, rounds):
         if empty_frontier or state.frontier.isEmpty():
             break
@@ -72,14 +75,19 @@ def run_crawl(
         # stages shuffle real data (runtime coalescing/skew handling), pure
         # latency when the whole round is sub-second stages. Follow the same
         # regime switch as salting: off below the threshold, on at scale.
+        # With AQE off, right-size the static shuffle partitioning to the
+        # executor-slot count (the coalescing AQE would otherwise perform).
         small = frontier_hint is not None and frontier_hint < cfg.salt_min_frontier
         spark.conf.set("spark.sql.adaptive.enabled", "false" if small else aqe_orig)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(cores) if small else shuffle_orig
+        )
         timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
         t0 = time.time()
         state, result = run_round(
             spark, state, pages, scorer_bc, robots_bc, cfg,
             collect_metrics=collect_metrics, frontier_size_hint=frontier_hint,
-            ops=ops,
+            ops=ops, host_fetched_map=host_fetched_map,
         )
         t_plan = time.time() - t0
         all_metrics.append(result.metrics)
@@ -90,6 +98,9 @@ def run_crawl(
             state = store.resume(spark)
             if result.metrics.get("urls_enqueued", 0) is None:
                 result.metrics["urls_enqueued"] = result.enqueued.count()
+            host_fetched_map = {
+                r["host"]: r["fetched"] for r in state.host_fetched.collect()
+            }
             for df in result.cached:
                 df.unpersist()
         else:
@@ -111,6 +122,7 @@ def run_crawl(
             t_cnt = time.time() - t0
             t0 = time.time()
             host_rows = [(r["host"], r["fetched"]) for r in state.host_fetched.collect()]
+            host_fetched_map = dict(host_rows)
             total_fetched = sum(f for _, f in host_rows)
             result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
             prev_fetched_total = total_fetched
@@ -138,4 +150,5 @@ def run_crawl(
         enq = result.metrics.get("urls_enqueued", result.metrics.get("urls_new", 0)) or 0
         frontier_hint = None if frontier_hint is None else frontier_hint + enq
     spark.conf.set("spark.sql.adaptive.enabled", aqe_orig)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_orig)
     return CrawlRun(state, all_metrics)

@@ -228,6 +228,7 @@ def run_round(
     collect_metrics: bool = True,
     frontier_size_hint: int | None = None,
     ops: RoundOps | None = None,
+    host_fetched_map: dict[str, int] | None = None,
 ) -> tuple[CrawlState, RoundResult]:
     cfg = cfg or CrawlConfig()
     ops = ops or build_round_ops(cfg, scorer_bc, robots_bc)
@@ -244,26 +245,48 @@ def run_round(
 
     # ---- 1. politeness admission (salted per-host top-k + queue budget) ----
     delays = {h: d for h, (d, _) in robots_bc.value.items()}
-    quota_rows = [(h, cfg.host_quota(d)) for h, d in delays.items()]
     default_quota = cfg.host_quota(cfg.min_delay_ms)
-    quota_df = (
-        spark.createDataFrame(quota_rows, "host string, quota int")
-        if quota_rows
-        else spark.createDataFrame([], "host string, quota int")
-    )
-    fr = (
-        state.frontier.join(F.broadcast(quota_df), "host", "left")
-        .join(F.broadcast(state.host_fetched), "host", "left")
-        .withColumn("quota", F.coalesce("quota", F.lit(default_quota)))
-        .withColumn("fetched", F.coalesce("fetched", F.lit(0)))
-        .withColumn(
-            "k",
-            F.greatest(
-                F.lit(0),
-                F.least(F.col("quota").cast("long"), F.lit(cfg.queue_total_budget) - F.col("fetched")),
-            ),
+    if host_fetched_map is not None:
+        # per-round budget k = min(quota, total-budget - fetched) folded into
+        # ONE tiny driver-built dimension (the driver holds the fetched totals
+        # anyway) — one broadcast join instead of two
+        k_rows = {}
+        for h, d in delays.items():
+            k_rows[h] = cfg.host_quota(d)
+        for h, fetched in host_fetched_map.items():
+            q = k_rows.get(h, default_quota)
+            k_rows[h] = max(0, min(q, cfg.queue_total_budget - fetched))
+        k_df = (
+            spark.createDataFrame(list(k_rows.items()), "host string, k long")
+            if k_rows
+            else spark.createDataFrame([], "host string, k long")
         )
-    )
+        fr = state.frontier.join(F.broadcast(k_df), "host", "left").withColumn(
+            "k", F.coalesce("k", F.lit(default_quota).cast("long"))
+        )
+    else:
+        quota_rows = [(h, cfg.host_quota(d)) for h, d in delays.items()]
+        quota_df = (
+            spark.createDataFrame(quota_rows, "host string, quota int")
+            if quota_rows
+            else spark.createDataFrame([], "host string, quota int")
+        )
+        fr = (
+            state.frontier.join(F.broadcast(quota_df), "host", "left")
+            .join(F.broadcast(state.host_fetched), "host", "left")
+            .withColumn("quota", F.coalesce("quota", F.lit(default_quota)))
+            .withColumn("fetched", F.coalesce("fetched", F.lit(0)))
+            .withColumn(
+                "k",
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.col("quota").cast("long"),
+                        F.lit(cfg.queue_total_budget) - F.col("fetched"),
+                    ),
+                ),
+            )
+        )
     fr = fr.filter(F.col("precedence") < cfg.precedence_floor)
     if cfg.max_active_hosts is not None:
         # host selection order: activate the best queues first (min uri
@@ -281,11 +304,15 @@ def run_round(
     )
     admitted.cache()
     # per round the admitted set is bounded by sum(host quotas) — a broadcast
-    # dimension relative to the frontier it is subtracted from
+    # dimension relative to the frontier it is subtracted from. Both consumers
+    # (this anti-join and the fetch join) broadcast the IDENTICAL plan keyed
+    # on the SAME column (canon), so the physical planner's exchange reuse
+    # builds the hashed relation once instead of racing two builds against an
+    # unpopulated cache.
     adm_b = F.broadcast(admitted) if small_round else admitted
-    remaining = state.frontier.join(
-        adm_b.select("url_hash").withColumnRenamed("url_hash", "_h"),
-        state.frontier["url_hash"] == F.col("_h"),
+    remaining = state.frontier.alias("_fr").join(
+        adm_b.alias("_adm"),
+        F.col("_fr.canon") == F.col("_adm.canon"),
         "left_anti",
     )
 
@@ -415,7 +442,6 @@ def run_round(
     seen_new = state.seen.unionByName(new_unique.select("url_hash", "canon"))
 
     enq = new_unique.filter(ops.robots_udf(F.col("host"), F.col("canon")))
-    enq_pre_ordinal = enq  # row-identical to enq; counting it skips the window
 
     # deterministic ordinal: dense rank over (parent ordinal, link index).
     # Small rounds: one global window (single reducer — fine below the salt
@@ -501,5 +527,7 @@ def run_round(
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
         cached=(admitted, scored) + zip_cached + (new_unique,),
-        enqueued=enq_pre_ordinal,
+        # the per-round discovery counter: the deduped candidate set, straight
+        # off its cache — counting `enq` would re-run the robots UDF
+        enqueued=new_unique,
     )

@@ -59,7 +59,12 @@ class SyntheticCorpus:
     meta: dict = field(default_factory=dict)
 
 
-def _page_html(rng: random.Random, topicality: float, links: list[str]) -> str:
+def _page_html(
+    rng: random.Random,
+    topicality: float,
+    links: list[str],
+    chrome: tuple[str, str] | None = None,
+) -> str:
     # page sizes roughly matching real crawl text volumes (tens of sentences)
     n_paras = rng.randint(2, 6)
     paras = []
@@ -70,7 +75,13 @@ def _page_html(rng: random.Random, topicality: float, links: list[str]) -> str:
             sents.append(_sentence(rng, vocab))
         paras.append("<p>\n" + "\n".join(sents) + "\n</p>")
     anchors = "\n".join(f'<a href="{u}">{i}</a>' for i, u in enumerate(links))
-    return "<html>\n<body>\n" + "\n".join(paras) + "\n" + anchors + "\n</body>\n</html>"
+    # per-host boilerplate "site chrome" (header nav / footer) — like real web
+    # pages, a sizable share of every page's extracted text repeats site-wide
+    head = f"<p>\n{chrome[0]}\n</p>\n" if chrome else ""
+    foot = f"\n<p>\n{chrome[1]}\n</p>" if chrome else ""
+    return (
+        "<html>\n<body>\n" + head + "\n".join(paras) + "\n" + anchors + foot + "\n</body>\n</html>"
+    )
 
 
 def generate_corpus(
@@ -99,6 +110,15 @@ def generate_corpus(
         url = f"http://{hosts[h]}/p{i}.html"
         urls.append(url)
         url_host[url] = h
+
+    # per-host site chrome: a few boilerplate sentences every page of the
+    # host shares (header/footer text), as on real sites
+    host_chrome: list[tuple[str, str]] = []
+    for h in range(n_hosts):
+        crng = random.Random(seed * 104729 + h)
+        head = " ".join(_sentence(crng, OFFTOPIC_VOCAB) for _ in range(2))
+        foot = " ".join(_sentence(crng, OFFTOPIC_VOCAB) for _ in range(3))
+        host_chrome.append((head, foot))
 
     # topicality per page: seeds' host pages lean topical; random otherwise
     pages: dict[str, bytes] = {}
@@ -140,7 +160,9 @@ def generate_corpus(
         if rng.random() < 0.08:
             links.append(f"http://{hosts[url_host[url]]}/private/s{i}.html")
 
-        pages[url] = _page_html(rng, topicality, links).encode("utf-8")
+        pages[url] = _page_html(
+            rng, topicality, links, chrome=host_chrome[url_host[url]]
+        ).encode("utf-8")
 
     # robots
     for h, host in enumerate(hosts):

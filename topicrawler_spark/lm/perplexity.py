@@ -66,6 +66,7 @@ class DocumentScorer:
         kind: str = "kneser-ney",
         min_sentence_words: int = 2,
         language_code: str = "default",
+        sentence_cache_max: int = 200_000,
         **scorer_kw,
     ) -> None:
         self.lm = lm
@@ -76,6 +77,14 @@ class DocumentScorer:
         self.sentence_maker = SentenceMaker(min_sentence_words, language_code)
         self.language_code = language_code
         self.base = base_perplexity(lm, self.score)
+        # per-process memo of a sentence's (sum log10 p, #ngrams) contribution.
+        # Web text repeats site chrome (nav/footer sentences) on every page of
+        # a host, so the same sentence is scored over and over; the memo keeps
+        # results exactly identical while skipping the re-tokenize + re-score.
+        # Bounded: cleared wholesale at the cap (no LRU bookkeeping in the hot
+        # path). Not pickled — each executor worker builds its own.
+        self._sentence_cache_max = sentence_cache_max
+        self._sent_cache: dict[str, tuple[float, int]] = {}
 
     @property
     def score(self) -> Log10Scorer:
@@ -88,21 +97,38 @@ class DocumentScorer:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_score"] = None
+        state["_sent_cache"] = {}
         return state
+
+    def _sentence_contribution(self, sentence: str) -> tuple[float, int]:
+        """(sum log10 p, n) of one sentence, with the reference's gates:
+        zero contribution unless it produced >=1 ngram and the last ngram
+        has full LM order."""
+        hit = self._sent_cache.get(sentence)
+        if hit is not None:
+            return hit
+        ngrams = provider_ngrams(sentence, self.order, self.language_code)
+        if len(ngrams) < 1 or len(ngrams[-1]) < self.order:
+            hit = (0.0, 0)
+        else:
+            score = self.score
+            total = 0.0
+            for ng in ngrams:
+                total += score(ng)
+            hit = (total, len(ngrams))
+        if len(self._sent_cache) >= self._sentence_cache_max:
+            self._sent_cache.clear()
+        self._sent_cache[sentence] = hit
+        return hit
 
     def perplexity(self, text: str) -> float:
         """computePerplexity: accumulate over gated sentences."""
         total = 0.0
         n = 0
         for sentence in self.sentence_maker.sentences(text):
-            ngrams = provider_ngrams(sentence, self.order, self.language_code)
-            if len(ngrams) < 1:
-                continue
-            if len(ngrams[-1]) < self.order:
-                continue
-            for ng in ngrams:
-                total += self.score(ng)
-                n += 1
+            s, k = self._sentence_contribution(sentence)
+            total += s
+            n += k
         return perplexity_of_sums(total, n, self.base)
 
     def score_page_text(self, cleaned_plaintext_trimmed: str) -> float:

@@ -122,37 +122,64 @@ def _next_approximate_token(text: str, pos: int) -> str | None:
 
 
 class SentenceMaker:
-    """Crawler-side sentence production (SentenceMakerJava8 semantics)."""
+    """Crawler-side sentence production (SentenceMakerJava8 semantics).
 
-    def __init__(self, min_length: int = 2, language_code: str = "default") -> None:
+    Per-line results are memoized (bounded, cleared wholesale at the cap):
+    sentence production is a pure function of the line + ruleset, and web
+    pages repeat whole boilerplate lines (site chrome) across a host, so
+    the rule-split + tokenize work is skipped on repeats with results
+    exactly identical.
+    """
+
+    def __init__(
+        self, min_length: int = 2, language_code: str = "default", line_cache_max: int = 200_000
+    ) -> None:
         self.min_length = min_length
         self.language_code = language_code
+        self._line_cache_max = line_cache_max
+        self._cache: dict[str, list[str]] = {}
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_cache"] = {}
+        return state
 
     def sentences(self, text: str) -> list[str]:
-        rules = get_ruleset(self.language_code)
         out: list[str] = []
         for line, lt in line_split(text):
             if lt != SegmentType.SENTENCE:
                 continue
-            for sent, st in rule_split(line, rules):
-                if st != SegmentType.SENTENCE:
-                    continue
-                words = 0
-                parts: list[str] = []
-                for tok, tt in diff_tokenize(sent):
-                    if tt in (SegmentType.WORD, SegmentType.WORD_UPPERCASE, SegmentType.WORD_LOWERCASE):
-                        words += 1
-                    if tt == SegmentType.EMPTY_SPACE:
-                        parts.append(" ")
-                    elif tt in (
-                        SegmentType.WORD, SegmentType.NUMBER, SegmentType.WORD_WITH_NUMBER,
-                        SegmentType.WORD_UPPERCASE, SegmentType.WORD_LOWERCASE, SegmentType.PUNCTUATION,
-                    ):
-                        parts.append(tok)
-                joined = _java_trim("".join(parts))
-                if words < self.min_length or not joined:
-                    continue
-                out.append(joined)
+            hit = self._cache.get(line)
+            if hit is None:
+                hit = self._line_sentences(line)
+                if len(self._cache) >= self._line_cache_max:
+                    self._cache.clear()
+                self._cache[line] = hit
+            out.extend(hit)
+        return out
+
+    def _line_sentences(self, line: str) -> list[str]:
+        rules = get_ruleset(self.language_code)
+        out: list[str] = []
+        for sent, st in rule_split(line, rules):
+            if st != SegmentType.SENTENCE:
+                continue
+            words = 0
+            parts: list[str] = []
+            for tok, tt in diff_tokenize(sent):
+                if tt in (SegmentType.WORD, SegmentType.WORD_UPPERCASE, SegmentType.WORD_LOWERCASE):
+                    words += 1
+                if tt == SegmentType.EMPTY_SPACE:
+                    parts.append(" ")
+                elif tt in (
+                    SegmentType.WORD, SegmentType.NUMBER, SegmentType.WORD_WITH_NUMBER,
+                    SegmentType.WORD_UPPERCASE, SegmentType.WORD_LOWERCASE, SegmentType.PUNCTUATION,
+                ):
+                    parts.append(tok)
+            joined = _java_trim("".join(parts))
+            if words < self.min_length or not joined:
+                continue
+            out.append(joined)
         return out
 
 
