@@ -519,6 +519,25 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media, feature_dim=8)
 
 
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over opaque audio blobs (stub decoder; real
+    Arrow/mapInPandas plumbing). Rows-only check: binary feature extraction
+    is not SQL-expressible."""
+    from topicrawler_spark.pipeline.multimodal import audio_features
+
+    docs = _load(spark, sf_dir, "documents")["documents"].limit(50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length(F.col("text")) * 2).cast("long").alias("duration_ms"),
+    )
+    return audio_features(media, window_ms=500)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -585,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": q_doc_perplexity,
         "crawl_round": q_crawl_round,
         "image_features": q_image_features,
+        "audio_energy": q_audio_energy,
     }
 
 

@@ -63,10 +63,11 @@ def main() -> None:
     env = {
         # sized so parallel scoring work dominates the per-round fixed cost
         # (stage-scheduling latency) by >20x at the low parallelism level
-        "BENCH_PAGES": os.environ.get("BENCH_PAGES", "150000"),
-        "BENCH_SEEDS": os.environ.get("BENCH_SEEDS", "3000"),
+        "BENCH_PAGES": os.environ.get("BENCH_PAGES", "300000"),
+        "BENCH_SEEDS": os.environ.get("BENCH_SEEDS", "6000"),
         "BENCH_ROUNDS": os.environ.get("BENCH_ROUNDS", "5"),
         "BENCH_QUOTA": os.environ.get("BENCH_QUOTA", "125"),
+        "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "SPARK_GRAFT_SF_DIR": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     }
     hw_low = hw_rate(low)

@@ -212,3 +212,26 @@ def test_multimodal_frame_sampling(spark):
     frames = sample_video_frames(df, every_ms=1000).collect()
     assert len(frames) == 5
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == list(range(5))
+
+
+def test_multimodal_audio_features(spark):
+    from topicrawler_spark.pipeline.multimodal import audio_features
+
+    rows = [
+        (7, "audio", bytearray(b"fakepcm" * 100), "audio/wav", None, None, 2000),
+        (8, "video", bytearray(b"notaudio"), "video/mp4", None, None, 2000),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, mime string, width int, height int, duration_ms long",
+    )
+    out = audio_features(df, window_ms=500).collect()
+    assert [r["media_id"] for r in out] == [7]
+    r = out[0]
+    assert r["n_windows"] == 4 and len(r["energy"]) == 4
+    assert all(0.0 <= e <= 1.0 for e in r["energy"])
+    # strict mode surfaces the unimplemented decoder instead of fake data
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        audio_features(df, window_ms=500, strict=True).collect()

@@ -42,6 +42,10 @@ class CrawlConfig:
     # above this seen-set size the per-round driver collect+rebroadcast of
     # the seen set costs more (serially!) than a parallel shuffle anti-join
     seen_broadcast_max: int = 50_000
+    # below this round size the ordinal rank runs as one global window
+    # (single reducer, but the whole round stays one action-free query);
+    # above it the two-phase distributed rank amortizes its extra collect
+    ordinal_single_max: int = 10_000
     # batch analogue of Heritrix's inactive-queue activation by best queue
     # precedence: only the N best hosts (by min precedence, then name) are
     # active per round; None = all hosts active

@@ -331,6 +331,14 @@ def run_round(
     fetched = pages.join(
         adm_b, pages["_page_canon"] == admitted["canon"], "inner"
     ).drop("_page_canon")
+    # Memo locality: route all of a host's pages to the same task (and thus
+    # the same Python worker) before scoring — site chrome repeats per host,
+    # so the sentence/line memos only pay off if one worker sees the whole
+    # host. Skew-safe: the politeness quota already caps any host's rows per
+    # round. On a cluster this is executor affinity for per-host state.
+    fetched = fetched.repartition(
+        max(spark.sparkContext.defaultParallelism, 1), "host"
+    )
     is_robots = F.col("canon").endswith("/robots.txt")
     got_page = F.col("html").isNotNull()
 
@@ -444,17 +452,21 @@ def run_round(
     enq = new_unique.filter(ops.robots_udf(F.col("host"), F.col("canon")))
 
     # deterministic ordinal: dense rank over (parent ordinal, link index).
-    # Small rounds: one global window (single reducer — fine below the salt
-    # threshold) keeps run_round free of actions, so a whole round executes
-    # as ONE Spark query at state-commit time. Large rounds: the two-phase
-    # distributed rank (no single reducer, at the cost of one collect).
-    if small_round:
+    # Tiny rounds: one global window (single reducer — trivial at this size)
+    # keeps run_round free of actions, so a whole round executes as ONE
+    # Spark query at state-commit time. Bigger rounds: the two-phase
+    # distributed rank — a 50k-row single reducer plus its single-partition
+    # downstream (frontier write) is core-independent serial time that
+    # dominates the round's scaling residue.
+    tiny_round = (
+        frontier_size_hint is not None and frontier_size_hint < cfg.ordinal_single_max
+    )
+    if tiny_round:
         w_ord = Window.orderBy("p_ord_r", "p_ord_k", "link_idx")
         enq = enq.withColumn("ord_k", F.row_number().over(w_ord).cast("long"))
-        n_enqueued = None
         zip_cached: tuple = ()
     else:
-        enq, n_enqueued, _zc = zip_with_order(
+        enq, _acc, _zc = zip_with_order(
             enq, ["p_ord_r", "p_ord_k", "link_idx"], name="ord_k"
         )
         zip_cached = (_zc,)
@@ -520,7 +532,10 @@ def run_round(
         # rounds stay fully lazy (None) and the driver counts the cached
         # enqueued segment after the round query runs. `fetched` comes from
         # the (tiny) host_fetched table at checkpoint time.
-        metrics = {"round": round_no, "urls_enqueued": n_enqueued}
+        # None: the driver fills this by counting the cached discovery set
+        # (same definition in every regime: unique in-scope candidates after
+        # the seen anti-join, before the robots gate)
+        metrics = {"round": round_no, "urls_enqueued": None}
         partition_metrics = spark.createDataFrame([], "partition_id int, rows long, round int")
 
     new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched)

@@ -149,3 +149,54 @@ def sample_video_frames(
     return media.filter(F.col("kind") == "video").select(
         "media_id", "content", "duration_ms"
     ).mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("energy", ArrayType(FloatType())),  # per-window RMS energy
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame, window_ms: int = 500, strict: bool = False
+) -> DataFrame:
+    """audio binary -> per-window energy features, one Arrow pass.
+
+    STUB decoder (real impl: soundfile/librosa load -> PCM frames); the fake
+    treats the blob as 8-bit PCM so window counts scale with duration and the
+    feature math (windowed RMS over a sample array) is the real shape.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content, duration in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                if strict:
+                    raise NotImplementedError("audio decoding requires soundfile/librosa")
+                b = bytes(content) if content is not None else b""
+                dur = int(duration) if duration is not None else 0
+                n_windows = max(1, dur // window_ms)
+                samples = np.frombuffer(b, dtype=np.uint8).astype(np.float32)
+                if len(samples) == 0:
+                    samples = np.zeros(n_windows, dtype=np.float32)
+                chunks = np.array_split(samples, n_windows)
+                energy = [float(np.sqrt(np.mean((c / 255.0) ** 2))) if len(c) else 0.0 for c in chunks]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(b),
+                        "n_windows": n_windows,
+                        "energy": energy,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "n_windows", "energy"])
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "content", "duration_ms"
+    ).mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
