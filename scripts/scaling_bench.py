@@ -83,6 +83,10 @@ def main() -> None:
     core_ratio = high / low
     speedup = thr_high / thr_low if thr_low else 0.0
     efficiency = speedup / core_ratio
+    # engine efficiency relative to what the box itself can deliver over the
+    # same pair (the host is shared; its capacity varies between runs)
+    hw_speedup = (hw_high / hw_low) if hw_low else core_ratio
+    sw_efficiency = speedup / hw_speedup if hw_speedup else 0.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — crawl-round scaling evidence
@@ -110,7 +114,10 @@ so the N-vs-4N pair is chosen inside the hardware's linear regime.)
 - core ratio: {core_ratio:.1f}x
 - throughput speedup: {speedup:.2f}x
 - **scaling efficiency: {efficiency:.2f}** (target >= 0.8)
-- hardware ceiling on this pair: {hw_eff:.2f}
+- hardware ceiling on this pair at run time: {hw_eff:.2f}
+  (raw-multiprocessing speedup {hw_speedup:.2f}x — the shared host's
+  deliverable scaling for ANY software during this run)
+- **engine efficiency relative to the hardware ceiling: {sw_efficiency:.2f}**
 
 The same regime switches that make this scale (salted per-host top-k,
 broadcast-vs-shuffle join selection by frontier-size hint, AQE on for
@@ -134,7 +141,17 @@ Raw JSON:
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"low": r_low, "high": r_high, "efficiency": efficiency, "hw_eff": hw_eff}))
+    print(
+        json.dumps(
+            {
+                "low": r_low,
+                "high": r_high,
+                "efficiency": efficiency,
+                "hw_eff": hw_eff,
+                "sw_efficiency": sw_efficiency,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -114,3 +114,29 @@ def test_determinism_two_runs(spark, corpus, scorer, cfg, tmp_path_factory):
     s2 = sorted((x["canon"], x["directive"], x["precedence"], x["ord_r"], x["ord_k"])
                 for x in r2.state.frontier.collect())
     assert s1 == s2
+
+
+def test_large_regime_strategies_match_small(spark, corpus, scorer, cfg):
+    """Forcing every at-scale physical strategy (sort-merge co-partitioned
+    fetch, shuffle seen anti-join, salted politeness, two-phase ordinal)
+    must produce the exact same crawl as the small-regime broadcast paths."""
+    from dataclasses import replace
+
+    pages = pages_dataframe(spark, corpus)
+    small = run_crawl(spark, pages, corpus.seeds, scorer, 3, cfg)
+    big_cfg = replace(
+        cfg,
+        salt_min_frontier=0,      # salted pre-rank always on
+        seen_broadcast_max=0,     # shuffle anti-join
+        ordinal_single_max=0,     # two-phase ordinal
+        fetch_broadcast_max=0,    # co-partitioned SMJ fetch
+        n_salt=4,
+    )
+    big = run_crawl(spark, pages, corpus.seeds, scorer, 3, big_cfg)
+    key = lambda x: (x["canon"], x["directive"], x["precedence"], x["ord_r"], x["ord_k"])
+    assert sorted(map(key, small.state.frontier.collect())) == sorted(
+        map(key, big.state.frontier.collect())
+    )
+    assert {r["url_hash"] for r in small.state.seen.collect()} == {
+        r["url_hash"] for r in big.state.seen.collect()
+    }

@@ -106,3 +106,109 @@ def test_seen_antijoin_shape(spark):
     out = cands.join(seen, "url_hash", "left_anti")
     plan = _plan(out)
     assert "LeftAnti" in plan
+
+
+def _mini_round(spark, **cfg_kw):
+    from topicrawler_spark.crawl.config import CrawlConfig
+    from topicrawler_spark.crawl.round import (
+        build_robots_broadcast,
+        build_round_ops,
+        init_state,
+        prepare_pages,
+        run_round,
+    )
+    from topicrawler_spark.datagen import generate_corpus, pages_dataframe, topic_corpus
+    from topicrawler_spark.lm.local import LocalLM
+    from topicrawler_spark.lm.perplexity import DocumentScorer
+
+    corpus = generate_corpus(n_pages=120, n_hosts=5, n_seeds=3, seed=5)
+    pages = pages_dataframe(spark, corpus)
+    cfg = CrawlConfig(order=3, per_host_quota=5, max_hops=5, **cfg_kw)
+    lm = LocalLM.from_texts([topic_corpus(5, 60)], order=3)
+    scorer_bc = spark.sparkContext.broadcast(DocumentScorer(lm, "kneser-ney"))
+    robots_bc = build_robots_broadcast(spark, pages, cfg)
+    ops = build_round_ops(cfg, scorer_bc, robots_bc)
+    state = init_state(spark, corpus.seeds, cfg)
+    pp = prepare_pages(pages).localCheckpoint(eager=True)
+    return run_round(
+        spark, state, pp, scorer_bc, robots_bc, cfg,
+        collect_metrics=False, frontier_size_hint=0, ops=ops, host_fetched_map={},
+    )
+
+
+def test_fetch_join_never_shuffles_page_store(spark):
+    """The page store (the heavy html-bearing side) must reach its fetch
+    join without ANY exchange, in BOTH regimes: broadcast-admitted (small
+    rounds) and co-partitioned sort-merge (at-scale rounds, the bucketed-
+    table path — store side pre-partitioned and pre-sorted by canon)."""
+    import re
+
+    # small regime: admitted broadcasts, store streams from the scan
+    new_state, _ = _mini_round(spark)
+    plan = _plan(new_state.frontier, "formatted")
+    assert "BroadcastHashJoin Inner" in plan
+
+    # at-scale regime: SMJ where only the admitted side exchanges+sorts
+    # (AQE off so the static plan is inspectable; with AQE on the runtime
+    # may additionally convert the admitted side to broadcast — either way
+    # the store side never exchanges)
+    # (at this fixture scale the 120-row store is under the auto-broadcast
+    # threshold and the planner would — correctly — broadcast the store
+    # itself; disable auto-broadcast to surface the large-store plan shape)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new_state2, _ = _mini_round(spark, fetch_broadcast_max=0, seen_broadcast_max=0)
+        plan2 = _plan(new_state2.frontier, "formatted")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin Inner" in plan2
+    # the store scan (ExistingRDD with the html column) must feed the SMJ
+    # directly — no Exchange and no Sort between scan and join on that side
+    smj = plan2.split("SortMergeJoin Inner")[0]
+    store_side = smj[smj.rfind("Scan ExistingRDD"):] if "Scan ExistingRDD" in smj else ""
+    # formatted plans list children under the join; check the store leaf is
+    # not preceded by an Exchange in its subtree chain
+    lines = plan2.splitlines()
+    for i, ln in enumerate(lines):
+        if "SortMergeJoin Inner" in ln:
+            # left child subtree lines until the right child starts
+            left = "\n".join(lines[i + 1 : i + 4])
+            assert "Exchange" not in left.split("Sort")[0], left
+
+
+def test_scoring_stage_is_host_partitioned(spark):
+    """The scoring UDF stage must run on host-partitioned input (memo
+    locality: one worker sees a whole host's pages)."""
+    from topicrawler_spark.crawl.config import CrawlConfig
+    from topicrawler_spark.crawl.round import (
+        build_robots_broadcast,
+        build_round_ops,
+        init_state,
+        prepare_pages,
+        run_round,
+    )
+    from topicrawler_spark.datagen import generate_corpus, pages_dataframe, topic_corpus
+    from topicrawler_spark.lm.local import LocalLM
+    from topicrawler_spark.lm.perplexity import DocumentScorer
+
+    corpus = generate_corpus(n_pages=120, n_hosts=5, n_seeds=3, seed=5)
+    pages = pages_dataframe(spark, corpus)
+    cfg = CrawlConfig(order=3, per_host_quota=5, max_hops=5)
+    lm = LocalLM.from_texts([topic_corpus(5, 60)], order=3)
+    scorer_bc = spark.sparkContext.broadcast(DocumentScorer(lm, "kneser-ney"))
+    robots_bc = build_robots_broadcast(spark, pages, cfg)
+    ops = build_round_ops(cfg, scorer_bc, robots_bc)
+    state = init_state(spark, corpus.seeds, cfg)
+    pp = prepare_pages(pages).localCheckpoint(eager=True)
+    _, result = run_round(
+        spark, state, pp, scorer_bc, robots_bc, cfg,
+        collect_metrics=False, frontier_size_hint=0, ops=ops, host_fetched_map={},
+    )
+    plan = _plan(result.results, "formatted")
+    assert "ArrowEvalPython" in plan  # the scoring stage
+    # the exchange feeding it partitions by host
+    assert "hashpartitioning(host" in plan

@@ -46,6 +46,11 @@ class CrawlConfig:
     # (single reducer, but the whole round stays one action-free query);
     # above it the two-phase distributed rank amortizes its extra collect
     ordinal_single_max: int = 10_000
+    # below this frontier size the fetch join broadcasts the admitted set
+    # (driver collect+build is cheap); above it the join runs as a
+    # co-partitioned sort-merge against the canon-partitioned page store —
+    # only the admitted side shuffles, the store is never re-sorted
+    fetch_broadcast_max: int = 50_000
     # batch analogue of Heritrix's inactive-queue activation by best queue
     # precedence: only the N best hosts (by min precedence, then name) are
     # active per round; None = all hosts active

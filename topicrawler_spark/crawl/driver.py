@@ -38,6 +38,7 @@ def run_crawl(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     collect_metrics: bool = True,
+    pages_prepared: bool = False,
 ) -> CrawlRun:
     cfg = cfg or CrawlConfig()
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
@@ -56,8 +57,12 @@ def run_crawl(
 
     # localCheckpoint: materialize AND flatten the logical plan to a leaf —
     # otherwise every round's analysis re-walks the canonicalization tree
-    # inside prepare_pages (serial driver time per transformation)
-    pages = prepare_pages(pages).localCheckpoint(eager=True)
+    # inside prepare_pages (serial driver time per transformation).
+    # Callers running several crawls over one store (or a store that is
+    # already canon-keyed and bucketed, the warehouse case) prepare once and
+    # pass pages_prepared=True.
+    if not pages_prepared:
+        pages = prepare_pages(pages).localCheckpoint(eager=True)
     ops = build_round_ops(cfg, scorer_bc, robots_bc)
 
     all_metrics: list[dict] = []

@@ -126,9 +126,12 @@ def build_robots_broadcast(spark: SparkSession, pages: DataFrame, cfg: CrawlConf
 
     The filter pushes down to the parquet/Iceberg scan; the result is one
     small row per host — the canonical broadcast dimension."""
+    # works on the raw pages table (url column) or the prepared store
+    # (canonical key) — robots URLs canonicalize to themselves
+    url_col = "url" if "url" in pages.columns else "_page_canon"
     rows = (
-        pages.filter(F.col("url").endswith("/robots.txt"))
-        .select("url", "html")
+        pages.filter(F.col(url_col).endswith("/robots.txt"))
+        .select(F.col(url_col).alias("url"), "html")
         .collect()
     )
     table: dict[str, tuple[int, RobotsRules]] = {}
@@ -177,11 +180,16 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     is the job that writes the url_hash-bucketed pages table the per-round
     fetch join is co-partitioned against.
     """
-    return (
+    prepared = (
         pages.select(canonical_url(F.col("url")).alias("_page_canon"), "url", "html")
         .groupBy("_page_canon")
         .agg(F.min_by("html", "url").alias("html"))
     )
+    # hash-partition + sort by the join key NOW, so that (after the driver's
+    # localCheckpoint pins partitioning and ordering into the leaf) every
+    # round's sort-merge fetch join needs NO exchange and NO sort on the
+    # store side — the Iceberg-bucketed-table equivalent for local mode
+    return prepared.repartition(F.col("_page_canon")).sortWithinPartitions("_page_canon")
 
 
 def init_state(
@@ -308,8 +316,15 @@ def run_round(
     # (this anti-join and the fetch join) broadcast the IDENTICAL plan keyed
     # on the SAME column (canon), so the physical planner's exchange reuse
     # builds the hashed relation once instead of racing two builds against an
-    # unpopulated cache.
-    adm_b = F.broadcast(admitted) if small_round else admitted
+    # unpopulated cache. Past fetch_broadcast_max the driver-side
+    # collect+build becomes the round's serial bottleneck and the joins flip
+    # to sort-merge: the canon-partitioned page store side needs no exchange
+    # and no sort, only the admitted side shuffles.
+    bcast_adm = small_round and (
+        frontier_size_hint is not None
+        and frontier_size_hint < cfg.fetch_broadcast_max
+    )
+    adm_b = F.broadcast(admitted) if bcast_adm else admitted
     remaining = state.frontier.alias("_fr").join(
         adm_b.alias("_adm"),
         F.col("_fr.canon") == F.col("_adm.canon"),
