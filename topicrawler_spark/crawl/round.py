@@ -350,9 +350,11 @@ def run_round(
     # the same Python worker) before scoring — site chrome repeats per host,
     # so the sentence/line memos only pay off if one worker sees the whole
     # host. Skew-safe: the politeness quota already caps any host's rows per
-    # round. On a cluster this is executor affinity for per-host state.
+    # round, and 4 waves of tasks per core let stragglers (cold-memo or
+    # text-heavy hosts) amortize instead of pinning the stage on one task.
+    # On a cluster this is executor affinity for per-host state.
     fetched = fetched.repartition(
-        max(spark.sparkContext.defaultParallelism, 1), "host"
+        4 * max(spark.sparkContext.defaultParallelism, 1), "host"
     )
     is_robots = F.col("canon").endswith("/robots.txt")
     got_page = F.col("html").isNotNull()
