@@ -82,7 +82,7 @@ def main() -> None:
         collect_metrics=False, pages_prepared=True,
     )
     crawl_sec = time.time() - t0
-    expanded = sum(m.get("urls_enqueued", m.get("urls_new", 0)) for m in run.metrics)
+    expanded = sum(m.get("urls_discovered", m.get("urls_new", 0)) for m in run.metrics)
     scored = sum(m.get("fetched", 0) for m in run.metrics)
     urls_per_sec = (expanded + scored) / crawl_sec if crawl_sec > 0 else 0.0
     times["crawl_rounds"] = round(crawl_sec, 3)

@@ -141,8 +141,6 @@ def test_fetch_join_never_shuffles_page_store(spark):
     join without ANY exchange, in BOTH regimes: broadcast-admitted (small
     rounds) and co-partitioned sort-merge (at-scale rounds, the bucketed-
     table path — store side pre-partitioned and pre-sorted by canon)."""
-    import re
-
     # small regime: admitted broadcasts, store streams from the scan
     new_state, _ = _mini_round(spark)
     plan = _plan(new_state.frontier, "formatted")
@@ -168,10 +166,6 @@ def test_fetch_join_never_shuffles_page_store(spark):
     assert "SortMergeJoin Inner" in plan2
     # the store scan (ExistingRDD with the html column) must feed the SMJ
     # directly — no Exchange and no Sort between scan and join on that side
-    smj = plan2.split("SortMergeJoin Inner")[0]
-    store_side = smj[smj.rfind("Scan ExistingRDD"):] if "Scan ExistingRDD" in smj else ""
-    # formatted plans list children under the join; check the store leaf is
-    # not preceded by an Exchange in its subtree chain
     lines = plan2.splitlines()
     for i, ln in enumerate(lines):
         if "SortMergeJoin Inner" in ln:

@@ -66,94 +66,104 @@ def run_crawl(
     ops = build_round_ops(cfg, scorer_bc, robots_bc)
 
     all_metrics: list[dict] = []
-    prev_fetched_total = 0
     empty_frontier = False
-    frontier_hint: int | None = 0
-    host_fetched_map: dict[str, int] | None = {}
+    # on resume the persisted per-host fetched totals must seed the budget
+    # bookkeeping — an empty map would grant retired hosts a fresh quota
+    host_fetched_map: dict[str, int] = {
+        r["host"]: r["fetched"] for r in state.host_fetched.collect()
+    }
+    prev_fetched_total = sum(host_fetched_map.values())
+    # resumed crawls have no discovery history; disable hint-driven regime
+    # downgrades (None = assume at-scale) until the next round refreshes it
+    frontier_hint: int | None = 0 if state.round_no == 0 else None
     aqe_orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shuffle_orig = spark.conf.get("spark.sql.shuffle.partitions", "200")
     cores = spark.sparkContext.defaultParallelism
-    for _ in range(state.round_no, rounds):
-        if empty_frontier or state.frontier.isEmpty():
-            break
-        # AQE pays one driver re-plan round trip per query stage — a win when
-        # stages shuffle real data (runtime coalescing/skew handling), pure
-        # latency when the whole round is sub-second stages. Follow the same
-        # regime switch as salting: off below the threshold, on at scale.
-        # With AQE off, right-size the static shuffle partitioning to the
-        # executor-slot count (the coalescing AQE would otherwise perform).
-        small = frontier_hint is not None and frontier_hint < cfg.salt_min_frontier
-        spark.conf.set("spark.sql.adaptive.enabled", "false" if small else aqe_orig)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(cores) if small else shuffle_orig
-        )
-        timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
-        t0 = time.time()
-        state, result = run_round(
-            spark, state, pages, scorer_bc, robots_bc, cfg,
-            collect_metrics=collect_metrics, frontier_size_hint=frontier_hint,
-            ops=ops, host_fetched_map=host_fetched_map,
-        )
-        t_plan = time.time() - t0
-        all_metrics.append(result.metrics)
-        if store is not None:
-            store.commit_round(state, result)
-            # re-read committed state: cuts the lazy lineage chain and makes
-            # the carried state exactly the committed bytes
-            state = store.resume(spark)
-            if result.metrics.get("urls_enqueued", 0) is None:
-                result.metrics["urls_enqueued"] = result.enqueued.count()
-            host_fetched_map = {
-                r["host"]: r["fetched"] for r in state.host_fetched.collect()
-            }
-            for df in result.cached:
-                df.unpersist()
-        else:
-            # memory-only mode, minimal jobs per round:
-            #  - frontier: materialize + cut lineage (it mutates every round);
-            #    in the small-round regime this localCheckpoint is the ONE
-            #    Spark query the whole round compiles to (run_round itself is
-            #    action-free there)
-            #  - host_fetched: tiny — collect to the driver and recreate
-            #  - seen: pure append of the (already cached) new segment; the
-            #    union plan stays shallow, nothing re-materializes
-            t0 = time.time()
-            frontier = state.frontier.localCheckpoint(eager=True)
-            t_ck = time.time() - t0
-            t0 = time.time()
-            if result.metrics.get("urls_enqueued", 0) is None:
-                # cheap: a rescan of the cached new_unique segment
-                result.metrics["urls_enqueued"] = result.enqueued.count()
-            t_cnt = time.time() - t0
-            t0 = time.time()
-            host_rows = [(r["host"], r["fetched"]) for r in state.host_fetched.collect()]
-            host_fetched_map = dict(host_rows)
-            total_fetched = sum(f for _, f in host_rows)
-            result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
-            prev_fetched_total = total_fetched
-            host_fetched = (
-                spark.createDataFrame(host_rows, "host string, fetched long")
-                if host_rows
-                else spark.createDataFrame([], "host string, fetched long")
+    try:
+        for _ in range(state.round_no, rounds):
+            if empty_frontier or state.frontier.isEmpty():
+                break
+            # AQE pays one driver re-plan round trip per query stage — a win when
+            # stages shuffle real data (runtime coalescing/skew handling), pure
+            # latency when the whole round is sub-second stages. Follow the same
+            # regime switch as salting: off below the threshold, on at scale.
+            # With AQE off, right-size the static shuffle partitioning to the
+            # executor-slot count (the coalescing AQE would otherwise perform).
+            small = frontier_hint is not None and frontier_hint < cfg.salt_min_frontier
+            spark.conf.set("spark.sql.adaptive.enabled", "false" if small else aqe_orig)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(cores) if small else shuffle_orig
             )
-            # lazy localCheckpoint flattens the growing union-chain plan of
-            # the seen set to a leaf (materializes inside the next round's
-            # query — no extra job here)
-            seen = state.seen.localCheckpoint(eager=False)
-            state = CrawlState(state.round_no, frontier, seen, host_fetched)
-            empty_frontier = result.metrics.get("urls_enqueued") == 0 and frontier.isEmpty()
-            for df in result.cached[:-1]:  # keep new_unique: the seen set references it
-                df.unpersist()
-            if timing:
-                print(
-                    f"[round {state.round_no}] plan={t_plan:.2f}s ckpt={t_ck:.2f}s "
-                    f"enqcnt={t_cnt:.2f}s hostfetch={time.time()-t0:.2f}s "
-                    f"enq={result.metrics.get('urls_enqueued')} fetched={result.metrics.get('fetched')}",
-                    file=sys.stderr,
+            timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+            t0 = time.time()
+            state, result = run_round(
+                spark, state, pages, scorer_bc, robots_bc, cfg,
+                collect_metrics=collect_metrics, frontier_size_hint=frontier_hint,
+                ops=ops, host_fetched_map=host_fetched_map,
+            )
+            t_plan = time.time() - t0
+            all_metrics.append(result.metrics)
+            if store is not None:
+                store.commit_round(state, result)
+                # re-read committed state: cuts the lazy lineage chain and makes
+                # the carried state exactly the committed bytes
+                state = store.resume(spark)
+                if result.metrics.get("urls_discovered", 0) is None:
+                    result.metrics["urls_discovered"] = result.enqueued.count()
+                host_fetched_map = {
+                    r["host"]: r["fetched"] for r in state.host_fetched.collect()
+                }
+                for df in result.cached:
+                    df.unpersist()
+            else:
+                # memory-only mode, minimal jobs per round:
+                #  - frontier: materialize + cut lineage (it mutates every round);
+                #    in the small-round regime this localCheckpoint is the ONE
+                #    Spark query the whole round compiles to (run_round itself is
+                #    action-free there)
+                #  - host_fetched: tiny — collect to the driver and recreate
+                #  - seen: pure append of the (already cached) new segment; the
+                #    union plan stays shallow, nothing re-materializes
+                t0 = time.time()
+                frontier = state.frontier.localCheckpoint(eager=True)
+                t_ck = time.time() - t0
+                t0 = time.time()
+                if result.metrics.get("urls_discovered", 0) is None:
+                    # cheap: a rescan of the cached new_unique segment
+                    result.metrics["urls_discovered"] = result.enqueued.count()
+                t_cnt = time.time() - t0
+                t0 = time.time()
+                host_rows = [(r["host"], r["fetched"]) for r in state.host_fetched.collect()]
+                host_fetched_map = dict(host_rows)
+                total_fetched = sum(f for _, f in host_rows)
+                result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
+                prev_fetched_total = total_fetched
+                host_fetched = (
+                    spark.createDataFrame(host_rows, "host string, fetched long")
+                    if host_rows
+                    else spark.createDataFrame([], "host string, fetched long")
                 )
-        # running upper bound on frontier size: everything ever enqueued
-        enq = result.metrics.get("urls_enqueued", result.metrics.get("urls_new", 0)) or 0
-        frontier_hint = None if frontier_hint is None else frontier_hint + enq
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_orig)
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_orig)
+                # lazy localCheckpoint flattens the growing union-chain plan of
+                # the seen set to a leaf (materializes inside the next round's
+                # query — no extra job here)
+                seen = state.seen.localCheckpoint(eager=False)
+                state = CrawlState(state.round_no, frontier, seen, host_fetched)
+                empty_frontier = result.metrics.get("urls_discovered") == 0 and frontier.isEmpty()
+                for df in result.cached[:-1]:  # keep new_unique: the seen set references it
+                    df.unpersist()
+                if timing:
+                    print(
+                        f"[round {state.round_no}] plan={t_plan:.2f}s ckpt={t_ck:.2f}s "
+                        f"enqcnt={t_cnt:.2f}s hostfetch={time.time()-t0:.2f}s "
+                        f"enq={result.metrics.get('urls_discovered')} fetched={result.metrics.get('fetched')}",
+                        file=sys.stderr,
+                    )
+            # running upper bound on frontier size: everything ever discovered
+            enq = result.metrics.get("urls_discovered", result.metrics.get("urls_new", 0)) or 0
+            frontier_hint = None if frontier_hint is None else frontier_hint + enq
+    finally:
+        # the per-regime conf switches touch session-wide state; restore
+        # them even when a round fails mid-crawl
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_orig)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_orig)
     return CrawlRun(state, all_metrics)

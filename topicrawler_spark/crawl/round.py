@@ -127,7 +127,12 @@ def build_robots_broadcast(spark: SparkSession, pages: DataFrame, cfg: CrawlConf
     The filter pushes down to the parquet/Iceberg scan; the result is one
     small row per host — the canonical broadcast dimension."""
     # works on the raw pages table (url column) or the prepared store
-    # (canonical key) — robots URLs canonicalize to themselves
+    # (canonical key); raw robots URLs are canonicalized first so both
+    # shapes key the table by the canonical host — the same key
+    # host_classkey(canon) produces at lookup time (e.g. a
+    # www.foo.com/robots.txt row must serve candidates keyed foo.com)
+    from topicrawler_spark.functions.canonicalize import canonicalize_py
+
     url_col = "url" if "url" in pages.columns else "_page_canon"
     rows = (
         pages.filter(F.col(url_col).endswith("/robots.txt"))
@@ -136,7 +141,7 @@ def build_robots_broadcast(spark: SparkSession, pages: DataFrame, cfg: CrawlConf
     )
     table: dict[str, tuple[int, RobotsRules]] = {}
     for r in rows:
-        url = r["url"].lower()
+        url = canonicalize_py(r["url"])
         host = url.split("://", 1)[-1].split("/", 1)[0]
         if url.startswith("https://") and ":" not in host:
             host += ":443"
@@ -257,20 +262,24 @@ def run_round(
     if host_fetched_map is not None:
         # per-round budget k = min(quota, total-budget - fetched) folded into
         # ONE tiny driver-built dimension (the driver holds the fetched totals
-        # anyway) — one broadcast join instead of two
+        # anyway) — one broadcast join instead of two. The lifetime budget
+        # clamps EVERY k, including hosts with no fetch history yet and the
+        # unknown-host default (a quota larger than the budget must not admit
+        # past the budget in a single round).
+        budget = cfg.queue_total_budget
         k_rows = {}
         for h, d in delays.items():
-            k_rows[h] = cfg.host_quota(d)
+            k_rows[h] = min(cfg.host_quota(d), budget)
         for h, fetched in host_fetched_map.items():
             q = k_rows.get(h, default_quota)
-            k_rows[h] = max(0, min(q, cfg.queue_total_budget - fetched))
+            k_rows[h] = max(0, min(q, budget - fetched))
         k_df = (
             spark.createDataFrame(list(k_rows.items()), "host string, k long")
             if k_rows
             else spark.createDataFrame([], "host string, k long")
         )
         fr = state.frontier.join(F.broadcast(k_df), "host", "left").withColumn(
-            "k", F.coalesce("k", F.lit(default_quota).cast("long"))
+            "k", F.coalesce("k", F.lit(min(default_quota, budget)).cast("long"))
         )
     else:
         quota_rows = [(h, cfg.host_quota(d)) for h, d in delays.items()]
@@ -544,15 +553,13 @@ def run_round(
             .withColumn("round", F.lit(round_no))
         )
     else:
-        # bench mode: throughput counters only. Large rounds: the enqueue
-        # total falls out of the two-phase ordinal ranking for free; small
-        # rounds stay fully lazy (None) and the driver counts the cached
-        # enqueued segment after the round query runs. `fetched` comes from
-        # the (tiny) host_fetched table at checkpoint time.
-        # None: the driver fills this by counting the cached discovery set
-        # (same definition in every regime: unique in-scope candidates after
-        # the seen anti-join, before the robots gate)
-        metrics = {"round": round_no, "urls_enqueued": None}
+        # bench mode: throughput counters only, all lazy. None: the driver
+        # fills this by counting the cached discovery set — the SAME
+        # definition in every regime: unique in-scope candidates after the
+        # seen anti-join, before the robots gate (robots-blocked URLs did the
+        # full expansion work and are marked seen, they just never enqueue).
+        # `fetched` comes from the (tiny) host_fetched table at state-commit.
+        metrics = {"round": round_no, "urls_discovered": None}
         partition_metrics = spark.createDataFrame([], "partition_id int, rows long, round int")
 
     new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched)
