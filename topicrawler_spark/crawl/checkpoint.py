@@ -26,7 +26,7 @@ from topicrawler_spark.crawl.round import (
     RoundResult,
 )
 
-STATE_TABLES = ("frontier", "seen", "host_fetched")
+STATE_TABLES = ("frontier", "seen_delta", "host_fetched")
 LOG_TABLES = ("results", "fetch_log", "partition_metrics")
 
 
@@ -45,10 +45,19 @@ class CheckpointStore:
         r = state.round_no
         for name, df in (
             ("frontier", state.frontier),
-            ("seen", state.seen),
             ("host_fetched", state.host_fetched),
         ):
             df.write.mode("overwrite").parquet(self._dir(r, name))
+        # the seen set is append-only: each round commits ONLY its
+        # newly-discovered segment (the Iceberg-append equivalent — at 10^10
+        # URLs rewriting the full set per round would be an ~80 GB write);
+        # round 0's segment is the seed set, resume() unions the segments
+        seen_delta = (
+            state.seen
+            if result is None
+            else result.enqueued.select("url_hash", "canon")
+        )
+        seen_delta.write.mode("overwrite").parquet(self._dir(r, "seen_delta"))
         manifest = {"round": r, "tables": list(STATE_TABLES)}
         if result is not None:
             result.results.write.mode("overwrite").parquet(self._dir(r, "results"))
@@ -77,10 +86,15 @@ class CheckpointStore:
         r = self.last_committed_round()
         if r is None:
             return None
+        seen_dirs = [
+            self._dir(i, "seen_delta")
+            for i in range(r + 1)
+            if os.path.isdir(self._dir(i, "seen_delta"))
+        ]
         return CrawlState(
             r,
             spark.read.schema(FRONTIER_SCHEMA).parquet(self._dir(r, "frontier")),
-            spark.read.schema(SEEN_SCHEMA).parquet(self._dir(r, "seen")),
+            spark.read.schema(SEEN_SCHEMA).parquet(*seen_dirs),
             spark.read.schema(HOST_SCHEMA).parquet(self._dir(r, "host_fetched")),
         )
 
