@@ -516,7 +516,18 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(32).alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return image_features(media, feature_dim=8)
+    feats = image_features(media, feature_dim=8)
+    # project the array column to sortable scalars — the driver's row
+    # canonicalizer cannot hash/sort python lists
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha_hash",
+        F.size("features").alias("n_features"),
+        F.round(
+            F.expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6
+        ).alias("feat_sum"),
+    )
 
 
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,7 +546,15 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.length(F.col("text")) * 2).cast("long").alias("duration_ms"),
     )
-    return audio_features(media, window_ms=500)
+    feats = audio_features(media, window_ms=500)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "n_windows",
+        F.round(
+            F.expr("aggregate(energy, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6
+        ).alias("energy_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -728,7 +747,7 @@ WITH {toks_cte},
 g1 AS (SELECT tok[i] AS ngram, 1 AS n FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
 g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram, 2 AS n FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
 counts AS (SELECT ngram, n, count(*) AS cnt FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) GROUP BY ngram, n)
-SELECT n, least(cnt, 5) AS cls, count(*) AS num, sum(cnt) AS total
+SELECT n, least(cnt, 5) AS cls, count(*) AS num, CAST(sum(cnt) AS BIGINT) AS total
 FROM counts GROUP BY 1, 2
 """,
         "mle_bigram_logprob": f"""
@@ -846,7 +865,7 @@ s AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
   FROM g
 )
-SELECT user_id, sess_no, count(*) AS n_events,
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch
 FROM s GROUP BY user_id, sess_no

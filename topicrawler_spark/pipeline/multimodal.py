@@ -11,6 +11,7 @@ in PIL/ffmpeg kernels on a real cluster touches only the marked functions.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -50,6 +51,13 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _content_hash(content: bytes) -> int:
+    """Deterministic 63-bit content hash (SHA-256 prefix). Python's builtin
+    ``hash(bytes)`` is PYTHONHASHSEED-randomized, which would make results
+    differ across driver restarts and mixed-worker clusters."""
+    return int.from_bytes(hashlib.sha256(content).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
 def _decode_image_stub(content: bytes, strict: bool) -> np.ndarray:
     """STUB image decode. Real impl: PIL.Image.open(BytesIO(content)).
 
@@ -58,7 +66,7 @@ def _decode_image_stub(content: bytes, strict: bool) -> np.ndarray:
     """
     if strict:
         raise NotImplementedError("image decoding requires an imaging library (PIL)")
-    h = hash(content) & 0x7FFFFFFF
+    h = _content_hash(content) & 0x7FFFFFFF
     rng = np.random.default_rng(h)
     return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
 
@@ -93,7 +101,7 @@ def image_features(
                     {
                         "media_id": media_id,
                         "n_bytes": len(b),
-                        "sha_hash": np.int64(hash(b) & 0x7FFFFFFFFFFFFFFF),
+                        "sha_hash": np.int64(_content_hash(b)),
                         "features": feats.tolist(),
                     }
                 )
