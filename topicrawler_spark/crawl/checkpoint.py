@@ -86,11 +86,26 @@ class CheckpointStore:
         r = self.last_committed_round()
         if r is None:
             return None
-        seen_dirs = [
-            self._dir(i, "seen_delta")
-            for i in range(r + 1)
-            if os.path.isdir(self._dir(i, "seen_delta"))
-        ]
+        # The seen set is the union of per-round append segments. A missing
+        # segment must fail loudly — silently skipping it would resume with an
+        # incomplete seen set and re-fetch already-crawled URLs. A round
+        # written by the legacy full-rewrite format carries a complete `seen`
+        # table instead, which supersedes all earlier segments.
+        seen_dirs: list[str] = []
+        for i in range(r + 1):
+            delta = self._dir(i, "seen_delta")
+            legacy = self._dir(i, "seen")
+            if os.path.isdir(delta):
+                seen_dirs.append(delta)
+            elif os.path.isdir(legacy):
+                seen_dirs = [legacy]
+            else:
+                raise FileNotFoundError(
+                    f"checkpoint {self.root}: round {i} committed (last round "
+                    f"{r}) but has neither a seen_delta segment nor a legacy "
+                    f"seen table — the store is damaged; refusing to resume "
+                    f"with an incomplete URL-seen set"
+                )
         return CrawlState(
             r,
             spark.read.schema(FRONTIER_SCHEMA).parquet(self._dir(r, "frontier")),

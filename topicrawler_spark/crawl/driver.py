@@ -73,9 +73,13 @@ def run_crawl(
         r["host"]: r["fetched"] for r in state.host_fetched.collect()
     }
     prev_fetched_total = sum(host_fetched_map.values())
-    # resumed crawls have no discovery history; disable hint-driven regime
-    # downgrades (None = assume at-scale) until the next round refreshes it
-    frontier_hint: int | None = 0 if state.round_no == 0 else None
+    # The hint is an upper bound on frontier/seen size driving the regime
+    # switches. A fresh crawl's round-1 frontier IS the seed list, so the
+    # hint must start at len(seeds) — starting at 0 would classify a 10M-seed
+    # round 1 as "small" and broadcast the whole seed seen set. Resumed
+    # crawls have no in-memory history; run the first round in the at-scale
+    # regime (None) and refresh the hint from the committed seen set after it.
+    frontier_hint: int | None = len(seeds) if state.round_no == 0 else None
     aqe_orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shuffle_orig = spark.conf.get("spark.sql.shuffle.partitions", "200")
     cores = spark.sparkContext.defaultParallelism
@@ -104,15 +108,23 @@ def run_crawl(
             t_plan = time.time() - t0
             all_metrics.append(result.metrics)
             if store is not None:
-                store.commit_round(state, result)
-                # re-read committed state: cuts the lazy lineage chain and makes
-                # the carried state exactly the committed bytes
-                state = store.resume(spark)
+                # backfill the throughput counters BEFORE commit so the
+                # persisted manifest carries them (bench mode leaves
+                # urls_discovered None; 'fetched' derives from the per-host
+                # totals delta). enqueued/host_fetched read from cached
+                # intermediates — cheap rescans.
                 if result.metrics.get("urls_discovered", 0) is None:
                     result.metrics["urls_discovered"] = result.enqueued.count()
                 host_fetched_map = {
                     r["host"]: r["fetched"] for r in state.host_fetched.collect()
                 }
+                total_fetched = sum(host_fetched_map.values())
+                result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
+                prev_fetched_total = total_fetched
+                store.commit_round(state, result)
+                # re-read committed state: cuts the lazy lineage chain and makes
+                # the carried state exactly the committed bytes
+                state = store.resume(spark)
                 for df in result.cached:
                     df.unpersist()
             else:
@@ -160,7 +172,13 @@ def run_crawl(
                     )
             # running upper bound on frontier size: everything ever discovered
             enq = result.metrics.get("urls_discovered", result.metrics.get("urls_new", 0)) or 0
-            frontier_hint = None if frontier_hint is None else frontier_hint + enq
+            if frontier_hint is None:
+                # first post-resume round: one count over the (parquet-backed,
+                # just-committed) seen set restores hint-driven regime
+                # switching; thereafter the hint accumulates per-round.
+                frontier_hint = state.seen.count()
+            else:
+                frontier_hint += enq
     finally:
         # the per-regime conf switches touch session-wide state; restore
         # them even when a round fails mid-crawl

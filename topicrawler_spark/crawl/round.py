@@ -427,11 +427,20 @@ def run_round(
     if cfg.max_domains is not None:
         from topicrawler_spark.functions.canonicalize import second_level_domain
 
+        # cap by FIRST-DISCOVERY order (min parent ordinal, then link index),
+        # the batch analogue of the reference's racy arrival-order domain
+        # counter — not alphabetically, which would reward lexicographically
+        # early domains every round
         allowed = (
-            cands.select(second_level_domain(F.col("host")).alias("_sld"))
-            .distinct()
-            .orderBy("_sld")
+            cands.select(
+                second_level_domain(F.col("host")).alias("_sld"),
+                F.struct("p_ord_r", "p_ord_k", "link_idx").alias("_disc"),
+            )
+            .groupBy("_sld")
+            .agg(F.min("_disc").alias("_first"))
+            .orderBy("_first", "_sld")
             .limit(cfg.max_domains)
+            .select("_sld")
         )
         cands = cands.withColumn("_sld", second_level_domain(F.col("host"))).join(
             F.broadcast(allowed), "_sld", "left_semi"

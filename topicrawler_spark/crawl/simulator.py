@@ -189,7 +189,7 @@ class CrawlSimulator:
         if cfg.max_domains is not None:
             from topicrawler_spark.functions.canonicalize import second_level_domain_py
 
-            slds = set()
+            slds: dict[str, None] = {}  # insertion-ordered
             for _, _, url, _, _, hops in candidates:
                 if hops > cfg.max_hops:
                     continue
@@ -207,8 +207,14 @@ class CrawlSimulator:
                 host = host_classkey_py(canon)
                 if not host or (cfg.scope_hosts is not None and host not in cfg.scope_hosts):
                     continue
-                slds.add(second_level_domain_py(host))
-            allowed_slds = set(sorted(slds)[: cfg.max_domains])
+                # first-discovery order (candidates are sorted by parent
+                # ordinal, link index): the first max_domains distinct
+                # domains encountered win, matching the engine's
+                # min-parent-ordinal cap
+                sld = second_level_domain_py(host)
+                if sld not in slds:
+                    slds[sld] = None
+            allowed_slds = set(list(slds)[: cfg.max_domains])
         scheduled = 0
         for parent_ord, idx, url, via, via_perp, hops in candidates:
             if hops > cfg.max_hops:

@@ -232,12 +232,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle:
-    |A ∩ B| computed by shingle equi-join, |A ∪ B| = |A|+|B|-∩."""
+    |A ∩ B| computed by shingle equi-join, |A ∪ B| = |A|+|B|-∩.
+
+    ``max_shingle_df`` is the skew defense the self-join needs at corpus
+    scale: one stop-word shingle shared by 10^6 docs would alone create
+    10^12 join rows. Shingles whose document frequency exceeds the cap are
+    removed from the shingle *universe* — from both the intersection join
+    and the per-doc set sizes — so the reported value stays an exact
+    Jaccard over the capped shingle sets (near-dup pairs overwhelmingly
+    share rare shingles too, so recall loss is negligible; the cap never
+    binds at the oracle-checked test scale)."""
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
     )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
