@@ -255,6 +255,56 @@ def q_mle_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("ngram", F.round("log10p", 6).alias("log10p"))
 
 
+def _bigram_candidates(spark: SparkSession, sf_dir: str):
+    """Shared input for the smoothing-scorer entries: the corpus bigram
+    counts plus a candidate set of counted bigrams ∪ their reversals
+    (reversals are mostly unseen — they exercise the backoff branches)."""
+    from topicrawler_spark.lm.counting import count_ngrams
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
+    counts = count_ngrams(sentences, order=2).cache()
+    bigrams = counts.filter(F.col("n") == 2).select("ngram")
+    toks = F.split(F.col("ngram"), " ")
+    cand = bigrams.unionByName(
+        bigrams.select(F.concat_ws(" ", toks[1], toks[0]).alias("ngram"))
+    ).distinct()
+    return counts, cand
+
+
+def q_laplace_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based Laplace (add-one) log10 scoring of bigrams + reversals."""
+    from topicrawler_spark.lm.counting import score_laplace_join
+
+    counts, cand = _bigram_candidates(spark, sf_dir)
+    return score_laplace_join(cand, counts).select(
+        "ngram", F.round("log10p", 6).alias("log10p")
+    )
+
+
+def q_stupid_backoff_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based Stupid Backoff scoring (order 2, reference early-return
+    quirks) of bigrams + reversals."""
+    from topicrawler_spark.lm.counting import score_stupid_backoff_bigram_join
+
+    counts, cand = _bigram_candidates(spark, sf_dir)
+    return score_stupid_backoff_bigram_join(cand, counts).select(
+        "ngram", F.round("sb_log10", 6).alias("sb_log10")
+    )
+
+
+def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based interpolated modified Kneser-Ney scoring (order 2, incl.
+    discount auto-estimation fix-ups, punk clamp, pruning resets) of
+    bigrams + reversals — the production crawl scorer's relational twin."""
+    from topicrawler_spark.lm.counting import score_kn_bigram_join
+
+    counts, cand = _bigram_candidates(spark, sf_dir)
+    return score_kn_bigram_join(cand, counts).select(
+        "ngram", F.round("kn_log10", 6).alias("kn_log10")
+    )
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import exact_duplicates
 
@@ -600,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfollow": q_nfollow,
         "count_histogram": q_count_histogram,
         "mle_bigram_logprob": q_mle_bigram_logprob,
+        "laplace_bigram_logprob": q_laplace_bigram_logprob,
+        "stupid_backoff_bigram": q_stupid_backoff_bigram,
+        "kn_bigram_logprob": q_kn_bigram_logprob,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
@@ -758,6 +811,123 @@ ucounts AS (SELECT ngram, count(*) AS cnt FROM uni GROUP BY ngram)
 SELECT c.ngram AS ngram,
        round(log10(c.cnt) - log10(u.cnt), 6) AS log10p
 FROM counts c JOIN ucounts u ON string_split(c.ngram, ' ')[1] = u.ngram
+""",
+        "laplace_bigram_logprob": f"""
+WITH {toks_cte},
+g1 AS (SELECT tok[i] AS ngram FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+uc AS (SELECT ngram, count(*) AS cnt FROM g1 GROUP BY 1),
+bc AS (SELECT ngram, count(*) AS cnt FROM g2 GROUP BY 1),
+cand AS (SELECT DISTINCT ngram FROM (
+  SELECT ngram FROM bc
+  UNION ALL
+  SELECT string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[1] FROM bc)),
+j AS (
+  SELECT cand.ngram, bc.cnt AS c12, c1.cnt AS c1
+  FROM cand
+  LEFT JOIN bc ON cand.ngram = bc.ngram
+  LEFT JOIN uc c1 ON string_split(cand.ngram, ' ')[1] = c1.ngram
+)
+SELECT ngram,
+  round(log10(coalesce(c12, 0) + 1)
+        - log10(coalesce(c1, 0) + (SELECT count(*) FROM uc)), 6) AS log10p
+FROM j
+""",
+        "stupid_backoff_bigram": f"""
+WITH {toks_cte},
+g1 AS (SELECT tok[i] AS ngram FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+uc AS (SELECT ngram, count(*) AS cnt FROM g1 GROUP BY 1),
+bc AS (SELECT ngram, count(*) AS cnt FROM g2 GROUP BY 1),
+cand AS (SELECT DISTINCT ngram FROM (
+  SELECT ngram FROM bc
+  UNION ALL
+  SELECT string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[1] FROM bc)),
+j AS (
+  SELECT cand.ngram, bc.cnt AS c12, c1.cnt AS c1, c2.cnt AS c2
+  FROM cand
+  LEFT JOIN bc ON cand.ngram = bc.ngram
+  LEFT JOIN uc c1 ON string_split(cand.ngram, ' ')[1] = c1.ngram
+  LEFT JOIN uc c2 ON string_split(cand.ngram, ' ')[2] = c2.ngram
+)
+SELECT ngram,
+  round(log10(CASE
+    WHEN c2 IS NULL THEN 0.4 / ((SELECT count(*) FROM uc) + 1.0)
+    WHEN c12 IS NOT NULL THEN c12 / CAST(c1 AS DOUBLE)
+    ELSE c2 / CAST((SELECT count(*) FROM uc) AS DOUBLE)
+  END), 6) AS sb_log10
+FROM j
+""",
+        # the KN oracle replicates the engine branch-for-branch: the
+        # count-of-counts histogram, the 4-step discount monotonicity fix-up
+        # (i = 5..2: zero-fix N[i], then bump N[i-1]), D = N1/(N1+2*N2), the
+        # continuation/backoff branches, and the [punk, 1.0] clamp
+        "kn_bigram_logprob": f"""
+WITH {toks_cte},
+g1 AS (SELECT tok[i] AS ngram FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+uc AS (SELECT ngram, count(*) AS cnt FROM g1 GROUP BY 1),
+bc AS (SELECT ngram, count(*) AS cnt FROM g2 GROUP BY 1),
+sc AS (SELECT (SELECT count(*) FROM uc) AS u,
+              (SELECT CAST(sum(cnt) AS DOUBLE) FROM uc) AS s1,
+              (SELECT count(*) FROM bc) AS b),
+hist AS (
+  SELECT 1 AS n, least(cnt, 5) AS cls, count(*) AS num FROM uc GROUP BY 2
+  UNION ALL
+  SELECT 2 AS n, least(cnt, 5) AS cls, count(*) AS num FROM bc GROUP BY 2
+),
+nn AS (
+  SELECT n,
+    coalesce(sum(num) FILTER (WHERE cls = 1), 0) AS n1,
+    coalesce(sum(num) FILTER (WHERE cls = 2), 0) AS n2,
+    coalesce(sum(num) FILTER (WHERE cls = 3), 0) AS n3,
+    coalesce(sum(num) FILTER (WHERE cls = 4), 0) AS n4,
+    coalesce(sum(num) FILTER (WHERE cls = 5), 0) AS n5
+  FROM hist GROUP BY n
+),
+f5  AS (SELECT n, n1, n2, n3, n4, CASE WHEN n5 = 0 THEN 1 ELSE n5 END AS n5 FROM nn),
+f5b AS (SELECT n, n1, n2, n3, CASE WHEN 5*n5 >= 4*n4 THEN 5*n5 + 1 ELSE n4 END AS n4, n5 FROM f5),
+f4  AS (SELECT n, n1, n2, n3, CASE WHEN n4 = 0 THEN 1 ELSE n4 END AS n4, n5 FROM f5b),
+f4b AS (SELECT n, n1, n2, CASE WHEN 4*n4 >= 3*n3 THEN 4*n4 + 1 ELSE n3 END AS n3, n4, n5 FROM f4),
+f3  AS (SELECT n, n1, n2, CASE WHEN n3 = 0 THEN 1 ELSE n3 END AS n3, n4, n5 FROM f4b),
+f3b AS (SELECT n, n1, CASE WHEN 3*n3 >= 2*n2 THEN 3*n3 + 1 ELSE n2 END AS n2, n3 FROM f3),
+f2  AS (SELECT n, n1, CASE WHEN n2 = 0 THEN 1 ELSE n2 END AS n2 FROM f3b),
+f2b AS (SELECT n, CASE WHEN 2*n2 >= 1*n1 THEN 2*n2 + 1 ELSE n1 END AS n1, n2 FROM f2),
+dd AS (SELECT
+  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 1) AS d1,
+  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 2) AS d2),
+nft AS (SELECT string_split(ngram, ' ')[1] AS w, count(*) AS nf FROM bc GROUP BY 1),
+npt AS (SELECT string_split(ngram, ' ')[2] AS w, count(*) AS np FROM bc GROUP BY 1),
+cand AS (SELECT DISTINCT ngram FROM (
+  SELECT ngram FROM bc
+  UNION ALL
+  SELECT string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[1] FROM bc)),
+j AS (
+  SELECT cand.ngram, bc.cnt AS c12, c1.cnt AS c1, c2.cnt AS c2,
+         nft.nf AS nf1, npt.np AS np2
+  FROM cand
+  LEFT JOIN bc ON cand.ngram = bc.ngram
+  LEFT JOIN uc c1 ON string_split(cand.ngram, ' ')[1] = c1.ngram
+  LEFT JOIN uc c2 ON string_split(cand.ngram, ' ')[2] = c2.ngram
+  LEFT JOIN nft ON string_split(cand.ngram, ' ')[1] = nft.w
+  LEFT JOIN npt ON string_split(cand.ngram, ' ')[2] = npt.w
+),
+k AS (
+  SELECT ngram,
+    CASE WHEN nf1 IS NULL THEN (1.0/b)*(d1/u)
+         ELSE (nf1/CAST(b AS DOUBLE))*(d1/u) END AS punk,
+    CASE
+      WHEN c2 IS NULL THEN
+        CASE WHEN nf1 IS NULL THEN (1.0/b)*(d1/u)
+             ELSE (nf1/CAST(b AS DOUBLE))*(d1/u) END
+      WHEN np2 IS NULL THEN c2/s1
+      WHEN c1 IS NULL THEN np2/CAST(b AS DOUBLE)
+      ELSE greatest(coalesce(c12, 0) - d2, 0.0)/c1
+           + (d2 * CAST(coalesce(nf1, 1) AS DOUBLE) / c1) * (np2/CAST(b AS DOUBLE))
+    END AS pkn
+  FROM j, sc, dd
+)
+SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS kn_log10 FROM k
 """,
         "exact_dup_groups": f"""
 WITH n AS (SELECT doc_id, {_DUCK_NORM} AS nt FROM documents)

@@ -183,3 +183,153 @@ def score_mle_join(
         .otherwise(multi)
     )
     return out.withColumn("log10p", log10p).drop("_g", "_c", "_h", "_hc", "_hist")
+
+
+def score_laplace_join(
+    ngrams_df: DataFrame,
+    lm_counts: DataFrame,
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """Join-based Laplace (add-one) log10 scoring: mirrors
+    ``LocalLM.laplace_log10`` (mapbased/LaplaceSmoothedLM) as two equi-joins.
+    Unigrams normalize by (total tokens + V); higher orders by
+    (c(hist) + V). Adds ``log10p``."""
+    uni_stats = lm_counts.filter(F.col("n") == 1).agg(
+        F.count(F.lit(1)).alias("V"), F.sum("cnt").alias("S1")
+    ).collect()[0]
+    V, S1 = int(uni_stats["V"]), int(uni_stats["S1"] or 0)
+    c_ngram = lm_counts.select(F.col("ngram").alias("_g"), F.col("cnt").alias("_c"))
+    c_hist = lm_counts.select(F.col("ngram").alias("_h"), F.col("cnt").alias("_hc"))
+    toks = F.split(F.col(ngram_col), " ")
+    hist = F.array_join(F.slice(toks, 1, F.size(toks) - 1), " ")
+    out = (
+        ngrams_df.withColumn("_hist", hist)
+        .join(c_ngram, F.col(ngram_col) == F.col("_g"), "left")
+        .join(c_hist, F.col("_hist") == F.col("_h"), "left")
+    )
+    nom = F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1)
+    log10p = F.when(
+        F.size(toks) == 1, F.log10(nom) - F.lit(float(__import__("math").log10(S1 + V)))
+    ).otherwise(F.log10(nom) - F.log10(F.coalesce(F.col("_hc"), F.lit(0)) + F.lit(V)))
+    return out.withColumn("log10p", log10p).drop("_g", "_c", "_h", "_hc", "_hist")
+
+
+def _bigram_side_tables(lm_counts: DataFrame):
+    """Per-word count/continuation dimensions derived from the count table:
+    c1/c2 (unigram counts), nf_tot (distinct successors of w), np_tot
+    (distinct predecessors of w)."""
+    uni = lm_counts.filter(F.col("n") == 1)
+    big = lm_counts.filter(F.col("n") == 2)
+    w_of = lambda i: F.split(F.col("ngram"), " ")[i]  # noqa: E731
+    nf = big.groupBy(w_of(0).alias("_w")).agg(F.count(F.lit(1)).alias("_nf"))
+    np_ = big.groupBy(w_of(1).alias("_w")).agg(F.count(F.lit(1)).alias("_np"))
+    return uni, big, nf, np_
+
+
+def score_stupid_backoff_bigram_join(
+    bigrams_df: DataFrame,
+    lm_counts: DataFrame,
+    discount: float = 0.4,
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """Join-based Stupid Backoff scoring of bigrams at order 2, mirroring
+    ``LocalLM.stupid_backoff`` (lucenebased/StupidBackoffLM.score) including
+    its early-return quirks: an OOV last word scores ud = discount/(U+1);
+    a seen bigram scores c12/c1; otherwise the unigram score c(w2)/U with
+    NO extra discount at the top order. Adds ``sb_log10``."""
+    uni, big, _nf, _np = _bigram_side_tables(lm_counts)
+    U = uni.count()
+    ud = discount / (U + 1.0)
+    toks = F.split(F.col(ngram_col), " ")
+    w1, w2 = toks[0], toks[1]
+    c12 = big.select(F.col("ngram").alias("_g12"), F.col("cnt").alias("_c12"))
+    c1 = uni.select(F.col("ngram").alias("_g1"), F.col("cnt").alias("_c1"))
+    c2 = uni.select(F.col("ngram").alias("_g2"), F.col("cnt").alias("_c2"))
+    out = (
+        bigrams_df.join(c12, F.col(ngram_col) == F.col("_g12"), "left")
+        .join(c1, w1 == F.col("_g1"), "left")
+        .join(c2, w2 == F.col("_g2"), "left")
+    )
+    score = (
+        F.when(F.col("_c2").isNull(), F.lit(ud))  # ends_with_oov
+        .when(F.col("_c12").isNotNull(), F.col("_c12") / F.col("_c1"))
+        .otherwise(F.col("_c2") / F.lit(float(U)))
+    )
+    return out.withColumn("sb_log10", F.log10(score)).drop("_g12", "_c12", "_g1", "_c1", "_g2", "_c2")
+
+
+def kn_discounts_from_histogram(N: list[list[int]], order: int, discount: float = -1.0) -> list[float]:
+    """Per-order KN discounts D = N1/(N1+2*N2) with the reference's
+    monotonicity fix-ups (lucenebased/KneserNeyLM discount estimation;
+    parity with ``LocalLM.kn_discounts`` is pytest-pinned)."""
+    D = [0.7] * (order + 1)
+    if 0 <= discount <= 1:
+        return [discount] * (order + 1)
+    for n in range(1, order + 1):
+        Nn = list(N[n])
+        for i in range(len(Nn) - 1, 1, -1):
+            if Nn[i] == 0:
+                Nn[i] = 1
+            if i * Nn[i] >= (i - 1) * Nn[i - 1]:
+                Nn[i - 1] = Nn[i] * i + 1
+        D[n] = Nn[1] / (Nn[1] + 2.0 * Nn[2])
+    return D
+
+
+def score_kn_bigram_join(
+    bigrams_df: DataFrame,
+    lm_counts: DataFrame,
+    discount: float = -1.0,
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """Join-based interpolated modified Kneser-Ney scoring of bigrams at
+    order 2 — the corpus-scale twin of ``LocalLM.kneser_ney``
+    (lucenebased/KneserNeyLM.kn), branch-for-branch for n=2:
+
+    - unigram continuation p = np_tot(w2)/B, falling back to c(w2)/S1 then
+      1/U when w2 has no predecessors / no count
+    - top order p = max(c12-D2,0)/c1 + D2*max(nf_tot(w1),1)/c1 * p_cont
+      (the nf==0 pruning reset), degrading to the continuation prob when
+      c(w1)=0 and to punk when w2 is OOV
+    - punk = nf_tot(w1)/B * D1/U (ud when w1 has no successors), and the
+      final [punk, 1.0] clamp
+
+    Scalars (U, B, S1, D) are a 12-number histogram collect; everything
+    row-wise is broadcast-or-SMJ equi-joins on words. Adds ``kn_log10``."""
+    uni, big, nf, np_ = _bigram_side_tables(lm_counts)
+    N, S = sum_ngrams_histogram(lm_counts)
+    D = kn_discounts_from_histogram(N, 2, discount)
+    U, B, S1 = N[1][0], N[2][0], S[1]
+    D1, D2 = float(D[1]), float(D[2])
+    ud = (1.0 / B) * (D1 / U)
+    toks = F.split(F.col(ngram_col), " ")
+    w1, w2 = toks[0], toks[1]
+    c12 = big.select(F.col("ngram").alias("_g12"), F.col("cnt").alias("_c12"))
+    c1 = uni.select(F.col("ngram").alias("_g1"), F.col("cnt").alias("_c1"))
+    c2 = uni.select(F.col("ngram").alias("_g2"), F.col("cnt").alias("_c2"))
+    out = (
+        bigrams_df.join(c12, F.col(ngram_col) == F.col("_g12"), "left")
+        .join(c1, w1 == F.col("_g1"), "left")
+        .join(c2, w2 == F.col("_g2"), "left")
+        .join(nf.withColumnRenamed("_w", "_wnf"), w1 == F.col("_wnf"), "left")
+        .join(np_.withColumnRenamed("_w", "_wnp"), w2 == F.col("_wnp"), "left")
+    )
+    punk = F.when(F.col("_nf").isNull(), F.lit(ud)).otherwise(
+        (F.col("_nf") / F.lit(float(B))) * F.lit(D1 / U)
+    )
+    p_cont = F.col("_np") / F.lit(float(B))
+    nfh = F.coalesce(F.col("_nf"), F.lit(1)).cast("double")
+    p_top = F.greatest(F.coalesce(F.col("_c12"), F.lit(0)).cast("double") - F.lit(D2), F.lit(0.0)) / F.col("_c1")
+    pkn2 = p_top + (F.lit(D2) * nfh / F.col("_c1")) * p_cont
+    pkn = (
+        F.when(F.col("_c2").isNull(), punk)  # ends_with_oov
+        # np_total(w2)==0 is an EARLY return in the reference recursion:
+        # c(w2)/S1 (w2 never follows anything), skipping top-order entirely
+        .when(F.col("_np").isNull(), F.col("_c2") / F.lit(float(S1)))
+        .when(F.col("_c1").isNull(), p_cont)  # ch==0: return the continuation prob
+        .otherwise(pkn2)
+    )
+    prob = F.least(F.greatest(pkn, punk), F.lit(1.0))
+    return out.withColumn("kn_log10", F.log10(prob)).drop(
+        "_g12", "_c12", "_g1", "_c1", "_g2", "_c2", "_wnf", "_nf", "_wnp", "_np"
+    )
