@@ -140,3 +140,26 @@ def test_large_regime_strategies_match_small(spark, corpus, scorer, cfg):
     assert {r["url_hash"] for r in small.state.seen.collect()} == {
         r["url_hash"] for r in big.state.seen.collect()
     }
+
+
+def test_distributed_budget_matches_driver_fast_path(spark, corpus, scorer, cfg):
+    """Forcing the fully-distributed budget regime (no driver delay dict, no
+    per-round host_fetched collect — quota/budget arithmetic as joins) must
+    produce the exact same crawl as the driver fast path."""
+    from dataclasses import replace
+
+    pages = pages_dataframe(spark, corpus)
+    fast = run_crawl(spark, pages, corpus.seeds, scorer, 3, cfg)
+    dist_cfg = replace(cfg, robots_collect_max_hosts=0)
+    dist = run_crawl(spark, pages, corpus.seeds, scorer, 3, dist_cfg)
+    key = lambda x: (x["canon"], x["directive"], x["precedence"], x["ord_r"], x["ord_k"])
+    assert sorted(map(key, fast.state.frontier.collect())) == sorted(
+        map(key, dist.state.frontier.collect())
+    )
+    assert {r["url_hash"] for r in fast.state.seen.collect()} == {
+        r["url_hash"] for r in dist.state.seen.collect()
+    }
+    # the budget/politeness metrics must agree too (same admitted counts)
+    assert [m.get("fetched") for m in fast.metrics] == [
+        m.get("fetched") for m in dist.metrics
+    ]

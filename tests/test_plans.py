@@ -111,7 +111,6 @@ def test_seen_antijoin_shape(spark):
 def _mini_round(spark, **cfg_kw):
     from topicrawler_spark.crawl.config import CrawlConfig
     from topicrawler_spark.crawl.round import (
-        build_robots_broadcast,
         build_round_ops,
         init_state,
         prepare_pages,
@@ -126,12 +125,14 @@ def _mini_round(spark, **cfg_kw):
     cfg = CrawlConfig(order=3, per_host_quota=5, max_hops=5, **cfg_kw)
     lm = LocalLM.from_texts([topic_corpus(5, 60)], order=3)
     scorer_bc = spark.sparkContext.broadcast(DocumentScorer(lm, "kneser-ney"))
-    robots_bc = build_robots_broadcast(spark, pages, cfg)
-    ops = build_round_ops(cfg, scorer_bc, robots_bc)
+    from topicrawler_spark.crawl.robots import build_robots_table
+
+    robots = build_robots_table(spark, pages, cfg)
+    ops = build_round_ops(cfg, scorer_bc)
     state = init_state(spark, corpus.seeds, cfg)
     pp = prepare_pages(pages).localCheckpoint(eager=True)
     return run_round(
-        spark, state, pp, scorer_bc, robots_bc, cfg,
+        spark, state, pp, scorer_bc, robots, cfg,
         collect_metrics=False, frontier_size_hint=0, ops=ops, host_fetched_map={},
     )
 
@@ -179,7 +180,6 @@ def test_scoring_stage_is_host_partitioned(spark):
     locality: one worker sees a whole host's pages)."""
     from topicrawler_spark.crawl.config import CrawlConfig
     from topicrawler_spark.crawl.round import (
-        build_robots_broadcast,
         build_round_ops,
         init_state,
         prepare_pages,
@@ -194,12 +194,14 @@ def test_scoring_stage_is_host_partitioned(spark):
     cfg = CrawlConfig(order=3, per_host_quota=5, max_hops=5)
     lm = LocalLM.from_texts([topic_corpus(5, 60)], order=3)
     scorer_bc = spark.sparkContext.broadcast(DocumentScorer(lm, "kneser-ney"))
-    robots_bc = build_robots_broadcast(spark, pages, cfg)
-    ops = build_round_ops(cfg, scorer_bc, robots_bc)
+    from topicrawler_spark.crawl.robots import build_robots_table
+
+    robots = build_robots_table(spark, pages, cfg)
+    ops = build_round_ops(cfg, scorer_bc)
     state = init_state(spark, corpus.seeds, cfg)
     pp = prepare_pages(pages).localCheckpoint(eager=True)
     _, result = run_round(
-        spark, state, pp, scorer_bc, robots_bc, cfg,
+        spark, state, pp, scorer_bc, robots, cfg,
         collect_metrics=False, frontier_size_hint=0, ops=ops, host_fetched_map={},
     )
     plan = _plan(result.results, "formatted")

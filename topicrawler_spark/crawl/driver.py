@@ -10,12 +10,13 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from topicrawler_spark.crawl.checkpoint import CheckpointStore
 from topicrawler_spark.crawl.config import CrawlConfig
+from topicrawler_spark.crawl.robots import build_robots_table
 from topicrawler_spark.crawl.round import (
     CrawlState,
-    build_robots_broadcast,
     init_state,
     run_round,
 )
@@ -52,7 +53,9 @@ def run_crawl(
             store.commit_round(state, None)
 
     scorer_bc = spark.sparkContext.broadcast(scorer)
-    robots_bc = build_robots_broadcast(spark, pages, cfg)
+    robots = build_robots_table(
+        spark, pages, cfg, collect_delays_max=cfg.robots_collect_max_hosts
+    )
     from topicrawler_spark.crawl.round import build_round_ops, prepare_pages
 
     # localCheckpoint: materialize AND flatten the logical plan to a leaf —
@@ -63,16 +66,30 @@ def run_crawl(
     # pass pages_prepared=True.
     if not pages_prepared:
         pages = prepare_pages(pages).localCheckpoint(eager=True)
-    ops = build_round_ops(cfg, scorer_bc, robots_bc)
+    ops = build_round_ops(cfg, scorer_bc)
 
     all_metrics: list[dict] = []
     empty_frontier = False
-    # on resume the persisted per-host fetched totals must seed the budget
-    # bookkeeping — an empty map would grant retired hosts a fresh quota
-    host_fetched_map: dict[str, int] = {
-        r["host"]: r["fetched"] for r in state.host_fetched.collect()
-    }
-    prev_fetched_total = sum(host_fetched_map.values())
+    # Driver-side budget fast path: only while the robots host count stayed
+    # below the collect threshold (robots.delays present). Past it the
+    # per-round host_fetched collect would itself be a driver bottleneck, so
+    # the budget arithmetic runs as joins inside run_round instead.
+    # On resume the persisted per-host fetched totals must seed the budget
+    # bookkeeping — an empty map would grant retired hosts a fresh quota.
+    distributed_budget = robots.delays is None
+    host_fetched_map: dict[str, int] | None = (
+        None
+        if distributed_budget
+        else {r["host"]: r["fetched"] for r in state.host_fetched.collect()}
+    )
+
+    def _fetched_total(hf) -> int:
+        if host_fetched_map is not None:
+            return sum(host_fetched_map.values())
+        row = hf.agg(F.coalesce(F.sum("fetched"), F.lit(0)).alias("t")).collect()[0]
+        return int(row["t"])
+
+    prev_fetched_total = _fetched_total(state.host_fetched)
     # The hint is an upper bound on frontier/seen size driving the regime
     # switches. A fresh crawl's round-1 frontier IS the seed list, so the
     # hint must start at len(seeds) — starting at 0 would classify a 10M-seed
@@ -101,7 +118,7 @@ def run_crawl(
             timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
             t0 = time.time()
             state, result = run_round(
-                spark, state, pages, scorer_bc, robots_bc, cfg,
+                spark, state, pages, scorer_bc, robots, cfg,
                 collect_metrics=collect_metrics, frontier_size_hint=frontier_hint,
                 ops=ops, host_fetched_map=host_fetched_map,
             )
@@ -115,10 +132,11 @@ def run_crawl(
                 # intermediates — cheap rescans.
                 if result.metrics.get("urls_discovered", 0) is None:
                     result.metrics["urls_discovered"] = result.enqueued.count()
-                host_fetched_map = {
-                    r["host"]: r["fetched"] for r in state.host_fetched.collect()
-                }
-                total_fetched = sum(host_fetched_map.values())
+                if not distributed_budget:
+                    host_fetched_map = {
+                        r["host"]: r["fetched"] for r in state.host_fetched.collect()
+                    }
+                total_fetched = _fetched_total(state.host_fetched)
                 result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
                 prev_fetched_total = total_fetched
                 store.commit_round(state, result)
@@ -145,16 +163,22 @@ def run_crawl(
                     result.metrics["urls_discovered"] = result.enqueued.count()
                 t_cnt = time.time() - t0
                 t0 = time.time()
-                host_rows = [(r["host"], r["fetched"]) for r in state.host_fetched.collect()]
-                host_fetched_map = dict(host_rows)
-                total_fetched = sum(f for _, f in host_rows)
+                if distributed_budget:
+                    # never collect the (at-scale, host-cardinality) fetch
+                    # totals: materialize and cut lineage executor-side
+                    host_fetched = state.host_fetched.localCheckpoint(eager=True)
+                    total_fetched = _fetched_total(host_fetched)
+                else:
+                    host_rows = [(r["host"], r["fetched"]) for r in state.host_fetched.collect()]
+                    host_fetched_map = dict(host_rows)
+                    total_fetched = sum(f for _, f in host_rows)
+                    host_fetched = (
+                        spark.createDataFrame(host_rows, "host string, fetched long")
+                        if host_rows
+                        else spark.createDataFrame([], "host string, fetched long")
+                    )
                 result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
                 prev_fetched_total = total_fetched
-                host_fetched = (
-                    spark.createDataFrame(host_rows, "host string, fetched long")
-                    if host_rows
-                    else spark.createDataFrame([], "host string, fetched long")
-                )
                 # lazy localCheckpoint flattens the growing union-chain plan of
                 # the seen set to a leaf (materializes inside the next round's
                 # query — no extra job here)

@@ -3,9 +3,13 @@
 The reference fetches ``/robots.txt`` per host as a crawl prerequisite and
 enforces it in PreconditionEnforcer; crawl-delay feeds the politeness delay
 (capped at 180 s). In the batch engine robots bodies are ordinary rows of the
-``pages`` table (url == scheme://host/robots.txt); we parse them once per
-round into a small per-host rules table that is *broadcast-joined* against
-candidates — the canonical small-dimension join.
+``pages`` table (url == scheme://host/robots.txt). They are parsed ONCE per
+crawl, *in the executors* (an Arrow ``mapInPandas`` pass — at 10^7-10^8
+hosts a driver-side parse would be both an OOM and a multi-GB pickle
+broadcast), into a ``host_rules`` DataFrame keyed by canonical host. Gating
+is then a plain join against candidates — broadcast below the small-round
+threshold, shuffle join at scale — with the longest-prefix match evaluated
+as pure Catalyst array expressions (no Python in the per-candidate path).
 
 Matching: directives of the most specific matching user-agent group
 (longest agent substring match, ``*`` fallback); allows/disallows by longest
@@ -14,7 +18,12 @@ matching prefix, allow wins ties; empty disallow = allow all.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column, DataFrame, SparkSession
 
 
 @dataclass
@@ -99,3 +108,145 @@ def effective_delay_ms(
         return min_delay_ms
     capped = min(crawl_delay_s, max_robots_delay_s) * 1000.0
     return int(max(min_delay_ms, capped))
+
+
+# --------------------------------------------------------------------------
+# distributed representation: the host_rules DataFrame
+# --------------------------------------------------------------------------
+
+HOST_RULES_SCHEMA = (
+    "host string, delay_ms int, allows array<string>, disallows array<string>"
+)
+
+
+@dataclass
+class RobotsTable:
+    """Per-crawl robots state.
+
+    ``rules`` is the distributed truth (cached; one row per canonical host).
+    ``delays`` is an optional driver-side {host: delay_ms} fast path that is
+    only materialized while the host count stays below a threshold — it lets
+    the driver fold per-host quotas and fetch budgets into one tiny
+    dimension without a per-round join. Past the threshold it is None and
+    every consumer uses the join path.
+    """
+
+    rules: "DataFrame"
+    delays: dict[str, int] | None
+
+
+def build_robots_table(
+    spark: "SparkSession",
+    pages: "DataFrame",
+    cfg,
+    collect_delays_max: int = 100_000,
+) -> RobotsTable:
+    """Parse all robots.txt rows into the host_rules DataFrame, executor-side.
+
+    Works on the raw pages table (url column) or the prepared store
+    (canonical key); raw robots URLs are canonicalized first so both shapes
+    key by the canonical host — the same key ``host_classkey(canon)``
+    produces at lookup time (a www.foo.com/robots.txt row must serve
+    candidates keyed foo.com). When several source rows share a canonical
+    host the lexicographically smallest source URL wins, matching the
+    prepared store's min_by convention.
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    url_col = "url" if "url" in pages.columns else "_page_canon"
+    robots_rows = pages.filter(F.col(url_col).endswith("/robots.txt")).select(
+        F.col(url_col).alias("url"), "html"
+    )
+    ua, dmin, dmax = cfg.user_agent, cfg.min_delay_ms, cfg.max_robots_delay_s
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from topicrawler_spark.functions.canonicalize import canonicalize_py
+
+        for pdf in batches:
+            out = {"src": [], "host": [], "delay_ms": [], "allows": [], "disallows": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                canon = canonicalize_py(url)
+                host = canon.split("://", 1)[-1].split("/", 1)[0]
+                if canon.startswith("https://") and ":" not in host:
+                    host += ":443"
+                host = host.replace(":", "#")
+                body = bytes(html).decode("utf-8", "replace") if html is not None else ""
+                r = parse_robots(body, ua)
+                out["src"].append(canon)
+                out["host"].append(host)
+                out["delay_ms"].append(effective_delay_ms(r.crawl_delay, dmin, dmax))
+                out["allows"].append(r.allows)
+                out["disallows"].append(r.disallows)
+            yield pd.DataFrame(out, columns=["src", "host", "delay_ms", "allows", "disallows"])
+
+    parsed = robots_rows.mapInPandas(gen, "src string, " + HOST_RULES_SCHEMA)
+    w = Window.partitionBy("host").orderBy("src")
+    rules = (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "src")
+        .cache()
+    )
+    head = rules.select("host", "delay_ms").limit(collect_delays_max + 1).collect()
+    delays = (
+        None
+        if len(head) > collect_delays_max
+        else {r["host"]: r["delay_ms"] for r in head}
+    )
+    return RobotsTable(rules, delays)
+
+
+def robots_path_of(canon: "Column") -> "Column":
+    """The path component ('/'-prefixed, '/' when absent) of a canonical URL,
+    as a Catalyst expression."""
+    from pyspark.sql import functions as F
+
+    p = F.regexp_extract(canon, r"^.*?://[^/]*(/.*)$", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_allowed_expr(
+    allows: "Column", disallows: "Column", path: "Column"
+) -> "Column":
+    """``RobotsRules.allows_path`` as pure column expressions: longest
+    matching non-empty prefix on each side, allow wins ties; a host with no
+    rules row (null arrays) allows everything."""
+    from pyspark.sql import functions as F
+
+    def best(arr: "Column") -> "Column":
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    arr,
+                    lambda pfx: F.when(
+                        (pfx != F.lit("")) & path.startswith(pfx), F.length(pfx)
+                    ).otherwise(F.lit(-1)),
+                )
+            ),
+            F.lit(-1),
+        )
+
+    return F.when(allows.isNull(), F.lit(True)).otherwise(
+        best(allows) >= best(disallows)
+    )
+
+
+def gate_by_robots(
+    df: "DataFrame", rules: "DataFrame" | None, bcast: bool = False
+) -> "DataFrame":
+    """Filter candidate rows (host, canon, ...) to robots-allowed ones via a
+    left join against host_rules. Broadcast under the small-round regime; a
+    shuffle join on host at scale (candidates are far wider than the rules
+    dimension, and host is already a grouping key downstream)."""
+    from pyspark.sql import functions as F
+
+    if rules is None:
+        return df
+    r = rules.select("host", "allows", "disallows")
+    j = df.join(F.broadcast(r) if bcast else r, "host", "left")
+    allowed = robots_allowed_expr(
+        F.col("allows"), F.col("disallows"), robots_path_of(F.col("canon"))
+    )
+    return j.filter(allowed).drop("allows", "disallows")

@@ -23,14 +23,11 @@ from dataclasses import dataclass, replace
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
-
-import pandas as pd
 
 from topicrawler_spark.crawl.config import CrawlConfig
 from topicrawler_spark.crawl.priority import apply_priority
 from topicrawler_spark.crawl.ranking import per_host_top_k, zip_with_order
-from topicrawler_spark.crawl.robots import RobotsRules, effective_delay_ms, parse_robots
+from topicrawler_spark.crawl.robots import RobotsTable, build_robots_table, gate_by_robots
 from topicrawler_spark.functions.canonicalize import canonical_url, host_classkey, url_hash64
 from topicrawler_spark.functions.udfs import (
     extract_outlinks_udf,
@@ -74,10 +71,9 @@ class RoundOps:
     precedence: Column
     scoring_text_udf: object
     perp_udf: object
-    robots_udf: object
 
 
-def build_round_ops(cfg: CrawlConfig, scorer_bc, robots_bc) -> RoundOps:
+def build_round_ops(cfg: CrawlConfig, scorer_bc) -> RoundOps:
     canon = F.col("canon")
     keep = (
         (F.col("hops") <= cfg.max_hops)
@@ -107,7 +103,6 @@ def build_round_ops(cfg: CrawlConfig, scorer_bc, robots_bc) -> RoundOps:
         precedence=cost,
         scoring_text_udf=make_scoring_text_udf("ext"),
         perp_udf=make_perplexity_udf(scorer_bc),
-        robots_udf=make_robots_allow_udf(robots_bc, cfg.respect_robots),
     )
 
 
@@ -119,58 +114,6 @@ class RoundResult:
     partition_metrics: DataFrame
     cached: tuple = ()  # cached intermediates; unpersist after state commit
     enqueued: DataFrame | None = None  # the newly enqueued rows (lazy)
-
-
-def build_robots_broadcast(spark: SparkSession, pages: DataFrame, cfg: CrawlConfig):
-    """Parse all robots.txt rows once; broadcast {host -> (delay_ms, rules)}.
-
-    The filter pushes down to the parquet/Iceberg scan; the result is one
-    small row per host — the canonical broadcast dimension."""
-    # works on the raw pages table (url column) or the prepared store
-    # (canonical key); raw robots URLs are canonicalized first so both
-    # shapes key the table by the canonical host — the same key
-    # host_classkey(canon) produces at lookup time (e.g. a
-    # www.foo.com/robots.txt row must serve candidates keyed foo.com)
-    from topicrawler_spark.functions.canonicalize import canonicalize_py
-
-    url_col = "url" if "url" in pages.columns else "_page_canon"
-    rows = (
-        pages.filter(F.col(url_col).endswith("/robots.txt"))
-        .select(F.col(url_col).alias("url"), "html")
-        .collect()
-    )
-    table: dict[str, tuple[int, RobotsRules]] = {}
-    for r in rows:
-        url = canonicalize_py(r["url"])
-        host = url.split("://", 1)[-1].split("/", 1)[0]
-        if url.startswith("https://") and ":" not in host:
-            host += ":443"
-        host = host.replace(":", "#")
-        body = bytes(r["html"]).decode("utf-8", "replace") if r["html"] is not None else ""
-        rules = parse_robots(body, cfg.user_agent)
-        delay = effective_delay_ms(rules.crawl_delay, cfg.min_delay_ms, cfg.max_robots_delay_s)
-        table[host] = (delay, rules)
-    return spark.sparkContext.broadcast(table)
-
-
-def make_robots_allow_udf(robots_bc, respect: bool = True):
-    @F.pandas_udf(BooleanType())
-    def robots_allows(host: pd.Series, canon: pd.Series) -> pd.Series:
-        if not respect:
-            return pd.Series([True] * len(host))
-        table = robots_bc.value
-        out = []
-        for h, c in zip(host, canon):
-            entry = table.get(h)
-            if entry is None:
-                out.append(True)
-                continue
-            rest = c.split("://", 1)[-1]
-            path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-            out.append(entry[1].allows_path(path))
-        return pd.Series(out)
-
-    return robots_allows
 
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
@@ -236,7 +179,7 @@ def run_round(
     state: CrawlState,
     pages: DataFrame,
     scorer_bc,
-    robots_bc,
+    robots: RobotsTable,
     cfg: CrawlConfig | None = None,
     collect_metrics: bool = True,
     frontier_size_hint: int | None = None,
@@ -244,7 +187,7 @@ def run_round(
     host_fetched_map: dict[str, int] | None = None,
 ) -> tuple[CrawlState, RoundResult]:
     cfg = cfg or CrawlConfig()
-    ops = ops or build_round_ops(cfg, scorer_bc, robots_bc)
+    ops = ops or build_round_ops(cfg, scorer_bc)
     round_no = state.round_no + 1
     # Small-frontier regime (driver passes a size upper bound): skip the
     # salted pre-rank (host-skew defense costs more than it saves) and
@@ -257,9 +200,9 @@ def run_round(
     n_salt = 1 if small_round else cfg.n_salt
 
     # ---- 1. politeness admission (salted per-host top-k + queue budget) ----
-    delays = {h: d for h, (d, _) in robots_bc.value.items()}
+    delays = robots.delays
     default_quota = cfg.host_quota(cfg.min_delay_ms)
-    if host_fetched_map is not None:
+    if host_fetched_map is not None and delays is not None:
         # per-round budget k = min(quota, total-budget - fetched) folded into
         # ONE tiny driver-built dimension (the driver holds the fetched totals
         # anyway) — one broadcast join instead of two. The lifetime budget
@@ -282,15 +225,27 @@ def run_round(
             "k", F.coalesce("k", F.lit(min(default_quota, budget)).cast("long"))
         )
     else:
-        quota_rows = [(h, cfg.host_quota(d)) for h, d in delays.items()]
-        quota_df = (
-            spark.createDataFrame(quota_rows, "host string, quota int")
-            if quota_rows
-            else spark.createDataFrame([], "host string, quota int")
-        )
+        # fully distributed budget arithmetic: per-host quotas derive from
+        # the host_rules dimension (delay -> quota, as a column expression)
+        # and the running fetch totals via two joins on host. Broadcast both
+        # dimensions under the small-round regime; at 10^7-10^8 hosts they
+        # exceed broadcast size and flip to shuffle joins (AQE-planned) —
+        # no driver-side dict at any point.
+        if cfg.per_host_quota is not None:
+            quota_expr = F.lit(cfg.per_host_quota)
+        else:
+            quota_expr = F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(cfg.round_ms) / F.greatest(F.col("delay_ms"), F.lit(1))
+                ).cast("int"),
+            )
+        quota_df = robots.rules.select("host", quota_expr.alias("quota"))
+        q_side = F.broadcast(quota_df) if small_round else quota_df
+        hf_side = F.broadcast(state.host_fetched) if small_round else state.host_fetched
         fr = (
-            state.frontier.join(F.broadcast(quota_df), "host", "left")
-            .join(F.broadcast(state.host_fetched), "host", "left")
+            state.frontier.join(q_side, "host", "left")
+            .join(hf_side, "host", "left")
             .withColumn("quota", F.coalesce("quota", F.lit(default_quota)))
             .withColumn("fetched", F.coalesce("fetched", F.lit(0)))
             .withColumn(
@@ -484,7 +439,11 @@ def run_round(
     # (at scale: an Iceberg append to the url_hash-bucketed seen table).
     seen_new = state.seen.unionByName(new_unique.select("url_hash", "canon"))
 
-    enq = new_unique.filter(ops.robots_udf(F.col("host"), F.col("canon")))
+    enq = gate_by_robots(
+        new_unique,
+        robots.rules if cfg.respect_robots else None,
+        bcast=small_round,
+    )
 
     # deterministic ordinal: dense rank over (parent ordinal, link index).
     # Tiny rounds: one global window (single reducer — trivial at this size)

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from topicrawler_spark.crawl.checkpoint import CheckpointStore
 from topicrawler_spark.crawl.config import CrawlConfig
-from topicrawler_spark.crawl.round import build_robots_broadcast, run_round
+from topicrawler_spark.crawl.robots import build_robots_table
+from topicrawler_spark.crawl.round import run_round
 
 
 def foreach_batch_crawl(
@@ -33,7 +34,7 @@ def foreach_batch_crawl(
     Returns the StreamingQuery.
     """
     cfg = cfg or CrawlConfig()
-    robots_bc = build_robots_broadcast(spark, pages, cfg)
+    robots = build_robots_table(spark, pages, cfg)
     from topicrawler_spark.crawl.round import prepare_pages
 
     pages = prepare_pages(pages).persist()
@@ -46,7 +47,7 @@ def foreach_batch_crawl(
         from topicrawler_spark.crawl.round import CrawlState
 
         state = CrawlState(state.round_no, batch_df, state.seen, state.host_fetched)
-        new_state, result = run_round(spark, state, pages, scorer_bc, robots_bc, cfg)
+        new_state, result = run_round(spark, state, pages, scorer_bc, robots, cfg)
         store.commit_round(new_state, result)
 
     return (
