@@ -18,6 +18,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from topicrawler_spark.crawl.bloom import BLOOM_SCHEMA
 from topicrawler_spark.crawl.round import (
     FRONTIER_SCHEMA,
     HOST_SCHEMA,
@@ -59,6 +60,11 @@ class CheckpointStore:
         )
         seen_delta.write.mode("overwrite").parquet(self._dir(r, "seen_delta"))
         manifest = {"round": r, "tables": list(STATE_TABLES)}
+        if state.bloom is not None:
+            # the sharded Bloom filter is n_shards rows — a full overwrite
+            # per round (OR-merged bits don't decompose into appends)
+            state.bloom.write.mode("overwrite").parquet(self._dir(r, "bloom"))
+            manifest["tables"].append("bloom")
         if result is not None:
             result.results.write.mode("overwrite").parquet(self._dir(r, "results"))
             result.fetch_log.write.mode("overwrite").parquet(self._dir(r, "fetch_log"))
@@ -106,11 +112,17 @@ class CheckpointStore:
                     f"seen table — the store is damaged; refusing to resume "
                     f"with an incomplete URL-seen set"
                 )
+        bloom = (
+            spark.read.schema(BLOOM_SCHEMA).parquet(self._dir(r, "bloom"))
+            if os.path.isdir(self._dir(r, "bloom"))
+            else None
+        )
         return CrawlState(
             r,
             spark.read.schema(FRONTIER_SCHEMA).parquet(self._dir(r, "frontier")),
             spark.read.schema(SEEN_SCHEMA).parquet(*seen_dirs),
             spark.read.schema(HOST_SCHEMA).parquet(self._dir(r, "host_fetched")),
+            bloom,
         )
 
     def read(self, spark: SparkSession, round_no: int, table: str) -> DataFrame:

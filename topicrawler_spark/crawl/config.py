@@ -51,6 +51,19 @@ class CrawlConfig:
     # co-partitioned sort-merge against the canon-partitioned page store —
     # only the admitted side shuffles, the store is never re-sorted
     fetch_broadcast_max: int = 50_000
+    # Partitioned Bloom URL-seen pre-filter (BloomUriUniqFilter analogue,
+    # sharded by pmod(url_hash, n_shards) so build/merge/probe are
+    # per-shard cogroup tasks — no single-node filter at any point).
+    # Activates once the seen set passes bloom_min_seen; None = never.
+    # With exact_confirm=True (default) results are EXACTLY the plain
+    # anti-join's (the filter only shrinks the exact join's probe side);
+    # False = reference-faithful Bloom-only dedup (false positives drop
+    # URLs, as BloomUriUniqFilter accepts).
+    bloom_min_seen: int | None = 1_000_000
+    bloom_n_shards: int = 32
+    bloom_shard_bytes: int = 1 << 20
+    bloom_hashes: int = 7
+    bloom_exact_confirm: bool = True
     # above this robots-host count the driver stops collecting the per-host
     # delay dict (and the per-round host_fetched totals): quota/budget
     # arithmetic runs fully distributed as joins on host instead. At
@@ -64,6 +77,11 @@ class CrawlConfig:
     hygiene_filters: bool = True  # pathological-path / too-many-segments rules
     surt_prefixes: tuple[str, ...] | None = None  # seeds-as-SURT-prefixes scope
     max_domains: int | None = None  # TooManyDomainsDecideRule (declarative)
+
+    def bloom_params(self):
+        from topicrawler_spark.crawl.bloom import BloomParams
+
+        return BloomParams(self.bloom_n_shards, self.bloom_shard_bytes, self.bloom_hashes)
 
     def host_quota(self, delay_ms: int) -> int:
         if self.per_host_quota is not None:

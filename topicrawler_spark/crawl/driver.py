@@ -115,6 +115,26 @@ def run_crawl(
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(cores) if small else shuffle_orig
             )
+            # Bloom regime: once the seen set passes the threshold (or its
+            # size is unknown post-resume, i.e. assumed at-scale), build the
+            # sharded filter from the committed seen set; thereafter
+            # run_round maintains it incrementally. Once built it stays —
+            # the filter is correct at any size.
+            if (
+                cfg.bloom_min_seen is not None
+                and state.bloom is None
+                and (frontier_hint is None or frontier_hint >= cfg.bloom_min_seen)
+            ):
+                from dataclasses import replace as _dc_replace
+
+                from topicrawler_spark.crawl.bloom import bloom_add
+
+                state = _dc_replace(
+                    state,
+                    bloom=bloom_add(
+                        spark, None, state.seen.select("url_hash"), cfg.bloom_params()
+                    ).localCheckpoint(eager=False),
+                )
             timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
             t0 = time.time()
             state, result = run_round(
@@ -181,9 +201,14 @@ def run_crawl(
                 prev_fetched_total = total_fetched
                 # lazy localCheckpoint flattens the growing union-chain plan of
                 # the seen set to a leaf (materializes inside the next round's
-                # query — no extra job here)
+                # query — no extra job here); same for the bloom's cogroup chain
                 seen = state.seen.localCheckpoint(eager=False)
-                state = CrawlState(state.round_no, frontier, seen, host_fetched)
+                bloom = (
+                    state.bloom.localCheckpoint(eager=False)
+                    if state.bloom is not None
+                    else None
+                )
+                state = CrawlState(state.round_no, frontier, seen, host_fetched, bloom)
                 empty_frontier = result.metrics.get("urls_discovered") == 0 and frontier.isEmpty()
                 for df in result.cached[:-1]:  # keep new_unique: the seen set references it
                     df.unpersist()

@@ -50,6 +50,9 @@ class CrawlState:
     frontier: DataFrame
     seen: DataFrame
     host_fetched: DataFrame
+    # sharded Bloom pre-filter over seen url_hashes; None below the
+    # activation threshold (the driver builds it from `seen` on activation)
+    bloom: DataFrame | None = None
 
 
 @dataclass
@@ -426,11 +429,31 @@ def run_round(
     seen_side = (
         F.broadcast(state.seen) if bcast_seen else state.seen
     ).select(F.col("url_hash").alias("_seen_h"))
-    new_unique = cands.join(
-        seen_side,
-        cands["url_hash"] == F.col("_seen_h"),
-        "left_anti",
-    )
+    if state.bloom is not None:
+        # Bloom pre-filter: definitely-new candidates skip the exact
+        # anti-join against the (10^10-row) seen table entirely; only the
+        # maybe-seen remainder (|dups| + fpr·|new|) probes it. With
+        # exact_confirm the result is exactly the plain anti-join's.
+        from topicrawler_spark.crawl.bloom import bloom_probe
+
+        probed = bloom_probe(cands, state.bloom, cfg.bloom_params())
+        fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        if cfg.bloom_exact_confirm:
+            suspect = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            confirmed = suspect.join(
+                seen_side, suspect["url_hash"] == F.col("_seen_h"), "left_anti"
+            )
+            new_unique = fresh.unionByName(confirmed)
+        else:
+            # reference-faithful BloomUriUniqFilter mode: maybe-seen drops
+            # outright (false positives lose URLs, as the reference accepts)
+            new_unique = fresh
+    else:
+        new_unique = cands.join(
+            seen_side,
+            cands["url_hash"] == F.col("_seen_h"),
+            "left_anti",
+        )
     new_unique.cache()
 
     # scheduled => seen (robots-blocked URLs are seen but never enqueued).
@@ -530,7 +553,15 @@ def run_round(
         metrics = {"round": round_no, "urls_discovered": None}
         partition_metrics = spark.createDataFrame([], "partition_id int, rows long, round int")
 
-    new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched)
+    if state.bloom is not None:
+        from topicrawler_spark.crawl.bloom import bloom_add
+
+        bloom_next = bloom_add(
+            spark, state.bloom, new_unique.select("url_hash"), cfg.bloom_params()
+        )
+    else:
+        bloom_next = None
+    new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched, bloom_next)
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
         cached=(admitted, scored) + zip_cached + (new_unique,),

@@ -46,7 +46,9 @@ def foreach_batch_crawl(
         # the streamed rows are this micro-batch's frontier
         from topicrawler_spark.crawl.round import CrawlState
 
-        state = CrawlState(state.round_no, batch_df, state.seen, state.host_fetched)
+        state = CrawlState(
+            state.round_no, batch_df, state.seen, state.host_fetched, state.bloom
+        )
         new_state, result = run_round(spark, state, pages, scorer_bc, robots, cfg)
         store.commit_round(new_state, result)
 
