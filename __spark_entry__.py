@@ -305,6 +305,27 @@ def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oov_reflm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PerplexityClient --oovreflm as a corpus-scale join: corpus bigrams
+    kept iff their LAST word is in a second reference LM's vocabulary
+    (here: the a-m half of the corpus vocabulary, so both the semi- and
+    anti-join sides are non-empty)."""
+    from topicrawler_spark.lm.apps import reference_vocab_split
+    from topicrawler_spark.lm.counting import count_ngrams
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
+    counts = count_ngrams(sentences, order=2)
+    bigrams = counts.filter(F.col("n") == 2).select("ngram", "cnt")
+    ref = (
+        docs.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("word"))
+        .filter(F.col("word") < "n")
+        .distinct()
+    )
+    kept, _dropped = reference_vocab_split(bigrams, ref)
+    return kept.select("ngram", "cnt")
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import exact_duplicates
 
@@ -653,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laplace_bigram_logprob": q_laplace_bigram_logprob,
         "stupid_backoff_bigram": q_stupid_backoff_bigram,
         "kn_bigram_logprob": q_kn_bigram_logprob,
+        "oov_reflm_split": q_oov_reflm_split,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_quality": q_doc_quality,
@@ -928,6 +950,15 @@ k AS (
   FROM j, sc, dd
 )
 SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS kn_log10 FROM k
+""",
+        "oov_reflm_split": f"""
+WITH {toks_cte},
+grams AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram
+          FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+counts AS (SELECT ngram, count(*) AS cnt FROM grams GROUP BY 1),
+ref AS (SELECT DISTINCT word FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents) WHERE word < 'n')
+SELECT ngram, cnt FROM counts
+WHERE string_split(ngram, ' ')[2] IN (SELECT word FROM ref)
 """,
         "exact_dup_groups": f"""
 WITH n AS (SELECT doc_id, {_DUCK_NORM} AS nt FROM documents)

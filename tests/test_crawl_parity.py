@@ -142,6 +142,42 @@ def test_large_regime_strategies_match_small(spark, corpus, scorer, cfg):
     }
 
 
+def test_retry_parity_with_simulator(spark, corpus, scorer, tmp_path):
+    """Failed fetches must retry with ordinal intact (snoozed one window at
+    this config) and drop after max_retries — identically in the engine and
+    the simulator, down to the per-round fetch log."""
+    from topicrawler_spark.crawl.checkpoint import CheckpointStore
+
+    cfg = CrawlConfig(order=3, per_host_quota=3, max_hops=10, round_ms=1000,
+                      retry_delay_s=0.5, max_retries=2)
+    assert cfg.retry_delay_rounds() == 1
+    rounds = 5
+    sim = CrawlSimulator(corpus.pages, scorer, cfg)
+    sim_state = sim.run(corpus.seeds, rounds)
+    pages = pages_dataframe(spark, corpus)
+    ckpt = str(tmp_path / "ck")
+    run = run_crawl(spark, pages, corpus.seeds, scorer, rounds, cfg, checkpoint_dir=ckpt)
+    store = CheckpointStore(ckpt)
+    engine_log = []
+    for r in range(1, run.state.round_no + 1):
+        engine_log.extend(
+            (x["round"], x["host"], x["host_rank"], x["canon"])
+            for x in store.read(spark, r, "fetch_log").collect()
+        )
+    assert sorted(engine_log) == sorted(sim_state.fetch_log)
+    # the corpus has dangling links: retries must actually occur
+    from collections import Counter
+
+    attempts = Counter(c for _, _, _, c in engine_log)
+    assert any(v > 1 for v in attempts.values()), "no retry was exercised"
+    engine_frontier = {
+        (x["canon"], x["retries"], x["not_before"])
+        for x in run.state.frontier.collect()
+    }
+    sim_frontier = {(e.canon, e.retries, e.not_before) for e in sim_state.frontier}
+    assert engine_frontier == sim_frontier
+
+
 def test_distributed_budget_matches_driver_fast_path(spark, corpus, scorer, cfg):
     """Forcing the fully-distributed budget regime (no driver delay dict, no
     per-round host_fetched collect — quota/budget arithmetic as joins) must

@@ -82,6 +82,46 @@ def test_stupid_backoff_join_parity(spark, built):
         assert v == pytest.approx(lm.stupid_backoff_log10(g.split(" ")), rel=1e-9), g
 
 
+def test_reference_vocab_split(spark, built):
+    from topicrawler_spark.lm.apps import reference_vocab_split
+
+    _, counts, _ = built
+    bigrams = counts.filter(F.col("n") == 2).select("ngram")
+    ref = spark.createDataFrame([("the",), ("cat",), ("sat",)], "word string")
+    kept, dropped = reference_vocab_split(bigrams, ref)
+    kept_g = {r["ngram"] for r in kept.collect()}
+    dropped_g = {r["ngram"] for r in dropped.collect()}
+    allg = {r["ngram"] for r in bigrams.collect()}
+    assert kept_g | dropped_g == allg and not (kept_g & dropped_g)
+    assert all(g.split(" ")[-1] in {"the", "cat", "sat"} for g in kept_g)
+    assert all(g.split(" ")[-1] not in {"the", "cat", "sat"} for g in dropped_g)
+
+
+def test_sequence_perplexity_oovreflm_rule(built):
+    """The PerplexityClient skip rule against a second reference vocab:
+    skip iff ends-ref-OOV AND (skip_oov_reflm OR (skip_oov AND ends-OOV))."""
+    from topicrawler_spark.lm.perplexity import sequence_perplexity
+
+    lm, _, _ = built
+    score = lm.scorer("mle")
+    in_vocab = "cat"
+    assert in_vocab in lm.vocab
+    ngrams = [["the", "cat"], ["the", "zzz"], ["cat", "sat"]]
+    ref = {"the", "sat"}  # 'cat' and 'zzz' are ref-OOV
+    # skip_oov_reflm: drops every ngram ending outside ref ('the cat', 'the zzz')
+    p_ref = sequence_perplexity(lm, score, ngrams, ref_vocab=ref, skip_oov_reflm=True)
+    p_only_last = sequence_perplexity(lm, score, [["cat", "sat"]])
+    assert p_ref == pytest.approx(p_only_last)
+    # skip_oov alone + reference: 'the zzz' ends OOV in BOTH -> skipped;
+    # 'the cat' ends OOV only in ref -> kept
+    p_both = sequence_perplexity(lm, score, ngrams, skip_oov=True, ref_vocab=ref)
+    p_manual = sequence_perplexity(lm, score, [["the", "cat"], ["cat", "sat"]])
+    assert p_both == pytest.approx(p_manual)
+    # no reference: reduces to the plain skip-oov rule
+    p_plain = sequence_perplexity(lm, score, ngrams, skip_oov=True)
+    assert p_plain == pytest.approx(p_manual)
+
+
 def test_kn_join_parity(spark, built):
     lm, counts, cand = built
     got = {

@@ -51,6 +51,13 @@ class CrawlConfig:
     # co-partitioned sort-merge against the canon-partitioned page store —
     # only the admitted side shuffles, the store is never re-sorted
     fetch_broadcast_max: int = 50_000
+    # Fetch retry/snooze (WorkQueueFrontier retry path, cxml:66-69:
+    # retryDelay 90 s, maxRetries 3): a failed fetch re-enters the frontier
+    # with its ordinal intact, snoozed until the round whose politeness
+    # window covers the retry delay; past max_retries it is dropped
+    # (terminal disposition, matching the reference).
+    max_retries: int = 3
+    retry_delay_s: float = 90.0
     # Partitioned Bloom URL-seen pre-filter (BloomUriUniqFilter analogue,
     # sharded by pmod(url_hash, n_shards) so build/merge/probe are
     # per-shard cogroup tasks — no single-node filter at any point).
@@ -77,6 +84,13 @@ class CrawlConfig:
     hygiene_filters: bool = True  # pathological-path / too-many-segments rules
     surt_prefixes: tuple[str, ...] | None = None  # seeds-as-SURT-prefixes scope
     max_domains: int | None = None  # TooManyDomainsDecideRule (declarative)
+
+    def retry_delay_rounds(self) -> int:
+        """retryDelay expressed in batch rounds (each round spans one
+        politeness window of ``round_ms``)."""
+        import math
+
+        return max(1, math.ceil(self.retry_delay_s * 1000.0 / max(self.round_ms, 1)))
 
     def bloom_params(self):
         from topicrawler_spark.crawl.bloom import BloomParams

@@ -37,8 +37,13 @@ from topicrawler_spark.functions.udfs import (
 
 FRONTIER_SCHEMA = (
     "url string, canon string, url_hash long, host string, directive int, "
-    "precedence int, ord_r int, ord_k long, hops int, via string"
+    "precedence int, ord_r int, ord_k long, hops int, via string, "
+    "retries int, not_before int"
 )
+_FRONTIER_COLS = [
+    "url", "canon", "url_hash", "host", "directive", "precedence",
+    "ord_r", "ord_k", "hops", "via", "retries", "not_before",
+]
 SEEN_SCHEMA = "url_hash long, canon string"
 HOST_SCHEMA = "host string, fetched long"
 ORDER_COLS = ["directive", "precedence", "ord_r", "ord_k"]
@@ -171,6 +176,8 @@ def init_state(
         (F.col("idx") + 1).alias("ord_k"),
         F.lit(0).alias("hops"),
         F.lit(None).cast("string").alias("via"),
+        F.lit(0).alias("retries"),
+        F.lit(0).alias("not_before"),
     )
     seen = frontier.select("url_hash", "canon")
     host_fetched = spark.createDataFrame([], HOST_SCHEMA)
@@ -262,7 +269,14 @@ def run_round(
                 ),
             )
         )
-    fr = fr.filter(F.col("precedence") < cfg.precedence_floor)
+    # precedence floor + retry snooze: a snoozed entry (not_before in the
+    # future) is simply not admission-eligible this round — it stays in the
+    # frontier via `remaining` without consuming its host's quota.
+    # coalesce: frontiers checkpointed before the retry columns read as null.
+    fr = fr.filter(
+        (F.col("precedence") < cfg.precedence_floor)
+        & (F.coalesce(F.col("not_before"), F.lit(0)) <= F.lit(round_no))
+    )
     if cfg.max_active_hosts is not None:
         # host selection order: activate the best queues first (min uri
         # precedence, ties by host name) — HighestUriQueuePrecedencePolicy
@@ -349,6 +363,22 @@ def run_round(
 
     results = scored.filter(F.col("fetch_ok") & ~is_robots).select(
         F.lit(round_no).alias("round"), "url", "canon", "host", "perp", "text", "hops"
+    )
+
+    # ---- 3b. fetch-failure retry (WorkQueueFrontier retry path) -----------
+    # An admitted URL with no stored page is a failed fetch. Under
+    # max_retries it re-enters the frontier with its ordinal intact, snoozed
+    # retry_delay_rounds politeness windows; past the cap it is dropped
+    # (terminal). The anti-join probes the cached admitted/scored sets —
+    # both bounded by the per-round admission quota.
+    failed = admitted.join(scored.select("canon"), "canon", "left_anti")
+    retry = failed.filter(
+        F.coalesce(F.col("retries"), F.lit(0)) < F.lit(cfg.max_retries)
+    ).select(
+        "url", "canon", "url_hash", "host", "directive", "precedence",
+        "ord_r", "ord_k", "hops", "via",
+        (F.coalesce(F.col("retries"), F.lit(0)) + F.lit(1)).alias("retries"),
+        F.lit(round_no + cfg.retry_delay_rounds()).alias("not_before"),
     )
 
     # ---- 4. candidate chain --------------------------------------------------
@@ -487,7 +517,7 @@ def run_round(
             enq, ["p_ord_r", "p_ord_k", "link_idx"], name="ord_k"
         )
         zip_cached = (_zc,)
-    frontier_next = remaining.unionByName(
+    frontier_next = remaining.select(*_FRONTIER_COLS).unionByName(
         enq.select(
             "url",
             "canon",
@@ -499,8 +529,10 @@ def run_round(
             "ord_k",
             "hops",
             "via",
+            F.lit(0).alias("retries"),
+            F.lit(0).alias("not_before"),
         )
-    )
+    ).unionByName(retry)
 
     # ---- 5. budgets + metrics -------------------------------------------------
     fetch_counts = (

@@ -38,6 +38,8 @@ class FrontierEntry:
     ordinal: int
     hops: int
     via: str | None
+    retries: int = 0
+    not_before: int = 0  # snoozed until this round (retry delay)
 
 
 @dataclass
@@ -146,8 +148,14 @@ class CrawlSimulator:
             active_hosts = {h for _, h in ranked[: cfg.max_active_hosts]}
         for host, entries in by_host.items():
             entries.sort(key=lambda e: (e.directive, e.precedence, e.ordinal))
-            eligible = [e for e in entries if e.precedence < cfg.precedence_floor]
-            floored = [e for e in entries if e.precedence >= cfg.precedence_floor]
+            eligible = [
+                e for e in entries
+                if e.precedence < cfg.precedence_floor and e.not_before <= round_no
+            ]
+            floored = [
+                e for e in entries
+                if e.precedence >= cfg.precedence_floor or e.not_before > round_no
+            ]
             if active_hosts is not None and host not in active_hosts:
                 remaining.extend(entries)
                 continue
@@ -171,7 +179,14 @@ class CrawlSimulator:
             st.fetch_log.append((round_no, e.host, r, e.canon))
             body = self.pages_by_canon.get(e.canon)
             if body is None:
-                continue  # fetch failure: no budget charge, no expansion
+                # fetch failure: no budget charge, no expansion; retry with
+                # ordinal intact, snoozed retry_delay_rounds windows, until
+                # max_retries (WorkQueueFrontier retry path)
+                if e.retries < cfg.max_retries:
+                    e.retries += 1
+                    e.not_before = round_no + cfg.retry_delay_rounds()
+                    st.frontier.append(e)
+                continue
             st.host_fetched[e.host] = st.host_fetched.get(e.host, 0) + 1
             html = body.decode("utf-8", "replace")
             is_robots = e.canon.endswith("/robots.txt")

@@ -15,12 +15,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
 
 
-def make_doc_perp_udf(scorer_bc, skip_oov: bool = False):
+def make_doc_perp_udf(
+    scorer_bc,
+    skip_oov: bool = False,
+    oovref_vocab_bc=None,
+    skip_oov_reflm: bool = False,
+):
     """text -> per-document perplexity, PerpDoc semantics (reset per row).
 
     With ``skip_oov`` the n-grams ending in out-of-vocabulary words are
     excluded from both the sum and N (ModelPerplexity.calculatePerplexity's
-    skip path; an empty remainder scores Integer.MAX_VALUE)."""
+    skip path; an empty remainder scores Integer.MAX_VALUE).
+    ``oovref_vocab_bc`` is a broadcast *second* LM's vocabulary (the
+    ``--oovreflm`` reference): the skip decision is then taken against that
+    vocabulary per PerplexityClient's rule — skip iff ends-OOV in the
+    reference AND (skip_oov_reflm OR (skip_oov AND ends-OOV in the scoring
+    LM))."""
     from topicrawler_spark.lm.ngrams import provider_ngrams
     from topicrawler_spark.lm.perplexity import sequence_perplexity
 
@@ -28,12 +38,15 @@ def make_doc_perp_udf(scorer_bc, skip_oov: bool = False):
     def doc_perp(text: pd.Series) -> pd.Series:
         scorer = scorer_bc.value
         lm = scorer.lm
+        ref_vocab = None if oovref_vocab_bc is None else oovref_vocab_bc.value
 
         def go(t):
             if not t:
                 return float(2**31 - 1)
             ngrams = provider_ngrams(t, lm.order, scorer.language_code)
-            return sequence_perplexity(lm, scorer.score, ngrams, skip_oov)
+            return sequence_perplexity(
+                lm, scorer.score, ngrams, skip_oov, ref_vocab, skip_oov_reflm
+            )
 
         return text.map(go)
 
@@ -41,9 +54,37 @@ def make_doc_perp_udf(scorer_bc, skip_oov: bool = False):
 
 
 def score_documents(
-    df: DataFrame, scorer_bc, text_col: str = "text", skip_oov: bool = False
+    df: DataFrame,
+    scorer_bc,
+    text_col: str = "text",
+    skip_oov: bool = False,
+    oovref_vocab_bc=None,
+    skip_oov_reflm: bool = False,
 ) -> DataFrame:
-    return df.withColumn("perplexity", make_doc_perp_udf(scorer_bc, skip_oov)(F.col(text_col)))
+    return df.withColumn(
+        "perplexity",
+        make_doc_perp_udf(scorer_bc, skip_oov, oovref_vocab_bc, skip_oov_reflm)(
+            F.col(text_col)
+        ),
+    )
+
+
+def reference_vocab_split(
+    ngrams_df: DataFrame,
+    ref_vocab: DataFrame,
+    ngram_col: str = "ngram",
+    word_col: str = "word",
+) -> tuple[DataFrame, DataFrame]:
+    """The ``--oovreflm`` join at corpus scale: split n-grams by whether the
+    LAST word is in a second reference LM's vocabulary (kept, oov_dropped).
+    A broadcast-or-SMJ semi/anti join pair on the last word — the relational
+    twin of the per-row ends-with-OOV check."""
+    last = F.element_at(F.split(F.col(ngram_col), " "), -1)
+    tagged = ngrams_df.withColumn("_lw", last)
+    ref = ref_vocab.select(F.col(word_col).alias("_lw")).distinct()
+    kept = tagged.join(ref, "_lw", "left_semi").drop("_lw")
+    dropped = tagged.join(ref, "_lw", "left_anti").drop("_lw")
+    return kept, dropped
 
 
 _SENT_PERP_TYPE = ArrayType(

@@ -38,17 +38,32 @@ def perplexity_of_sums(sum_log10: float, n: int, base: float) -> float:
 
 
 def sequence_perplexity(
-    lm: LocalLM, score: Log10Scorer, ngrams: list[list[str]], skip_oov: bool = False
+    lm: LocalLM,
+    score: Log10Scorer,
+    ngrams: list[list[str]],
+    skip_oov: bool = False,
+    ref_vocab: set[str] | None = None,
+    skip_oov_reflm: bool = False,
 ) -> float:
-    """``ModelPerplexity.calculatePerplexity``: N==0 -> Integer.MAX_VALUE."""
+    """``ModelPerplexity.calculatePerplexity`` with the PerplexityClient
+    skip rule (PerplexityClient.java:257-274, ``--skipoov`` /
+    ``--skipoovreflm`` / ``--oovreflm``): an n-gram is skipped iff it ends
+    OOV w.r.t. the oov-reference vocabulary AND (skip_oov_reflm OR
+    (skip_oov AND it also ends OOV in the scoring LM)). With no reference
+    vocabulary the scoring LM's own vocab is the reference (the CLI
+    default), reducing to the plain skip-oov rule. N==0 -> Integer.MAX_VALUE."""
     total = 0.0
-    n_oov = 0
+    n_skipped = 0
     for ng in ngrams:
-        if skip_oov and lm.ends_with_oov(ng):
-            n_oov += 1
+        ends_oov = lm.ends_with_oov(ng)
+        ends_ref_oov = (
+            ends_oov if ref_vocab is None else (not ng or ng[-1] not in ref_vocab)
+        )
+        if ends_ref_oov and (skip_oov_reflm or (skip_oov and ends_oov)):
+            n_skipped += 1
             continue
         total += score(ng)
-    n = len(ngrams) - n_oov
+    n = len(ngrams) - n_skipped
     if n == 0 or not math.isfinite(total):
         return float(2**31 - 1)
     return math.pow(10.0, -(total / n))
