@@ -19,6 +19,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from topicrawler_spark.crawl.bloom import BLOOM_SCHEMA
+from topicrawler_spark.crawl.robots import HOST_RULES_SCHEMA
 from topicrawler_spark.crawl.round import (
     FRONTIER_SCHEMA,
     HOST_SCHEMA,
@@ -65,6 +66,11 @@ class CheckpointStore:
             # per round (OR-merged bits don't decompose into appends)
             state.bloom.write.mode("overwrite").parquet(self._dir(r, "bloom"))
             manifest["tables"].append("bloom")
+        if state.robots is not None:
+            # prereq-mode discovered robots rules (append-only by host, but
+            # small enough that a per-round rewrite is the simpler commit)
+            state.robots.write.mode("overwrite").parquet(self._dir(r, "robots"))
+            manifest["tables"].append("robots")
         if result is not None:
             result.results.write.mode("overwrite").parquet(self._dir(r, "results"))
             result.fetch_log.write.mode("overwrite").parquet(self._dir(r, "fetch_log"))
@@ -117,12 +123,18 @@ class CheckpointStore:
             if os.path.isdir(self._dir(r, "bloom"))
             else None
         )
+        robots = (
+            spark.read.schema(HOST_RULES_SCHEMA).parquet(self._dir(r, "robots"))
+            if os.path.isdir(self._dir(r, "robots"))
+            else None
+        )
         return CrawlState(
             r,
             spark.read.schema(FRONTIER_SCHEMA).parquet(self._dir(r, "frontier")),
             spark.read.schema(SEEN_SCHEMA).parquet(*seen_dirs),
             spark.read.schema(HOST_SCHEMA).parquet(self._dir(r, "host_fetched")),
             bloom,
+            robots,
         )
 
     def read(self, spark: SparkSession, round_no: int, table: str) -> DataFrame:

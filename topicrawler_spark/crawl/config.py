@@ -51,6 +51,18 @@ class CrawlConfig:
     # co-partitioned sort-merge against the canon-partitioned page store —
     # only the admitted side shuffles, the store is never re-sorted
     fetch_broadcast_max: int = 50_000
+    # Prerequisite scheduling (PreconditionEnforcer, jar!heritrix-engine/
+    # .../prefetch/PreconditionEnforcer.java:170-254): when True, robots
+    # rules start UNKNOWN and are discovered during the crawl — content
+    # URLs of an unknown host are held in the frontier while the host's
+    # /robots.txt is synthesized as a HIGHEST-priority prerequisite entry,
+    # fetched, and parsed into the (checkpointed) rules state; robots
+    # gating then happens at admission time against the rules known so
+    # far, and a failed robots fetch records allow-all defaults (batch
+    # simplification of the reference's robots-retry snooze). When False
+    # (default) robots parse once up-front from the pages table — the
+    # batch-complete equivalent, since every robots row is already stored.
+    schedule_robots_prereqs: bool = False
     # Fetch retry/snooze (WorkQueueFrontier retry path, cxml:66-69:
     # retryDelay 90 s, maxRetries 3): a failed fetch re-enters the frontier
     # with its ordinal intact, snoozed until the round whose politeness

@@ -53,9 +53,16 @@ def run_crawl(
             store.commit_round(state, None)
 
     scorer_bc = spark.sparkContext.broadcast(scorer)
-    robots = build_robots_table(
-        spark, pages, cfg, collect_delays_max=cfg.robots_collect_max_hosts
-    )
+    if cfg.schedule_robots_prereqs:
+        # prereq mode: rules are crawl state (state.robots), discovered by
+        # fetching /robots.txt prerequisites — no up-front parse
+        from topicrawler_spark.crawl.robots import HOST_RULES_SCHEMA, RobotsTable
+
+        robots = RobotsTable(spark.createDataFrame([], HOST_RULES_SCHEMA), None)
+    else:
+        robots = build_robots_table(
+            spark, pages, cfg, collect_delays_max=cfg.robots_collect_max_hosts
+        )
     from topicrawler_spark.crawl.round import build_round_ops, prepare_pages
 
     # localCheckpoint: materialize AND flatten the logical plan to a leaf —
@@ -208,7 +215,14 @@ def run_crawl(
                     if state.bloom is not None
                     else None
                 )
-                state = CrawlState(state.round_no, frontier, seen, host_fetched, bloom)
+                robots_state = (
+                    state.robots.localCheckpoint(eager=False)
+                    if state.robots is not None
+                    else None
+                )
+                state = CrawlState(
+                    state.round_no, frontier, seen, host_fetched, bloom, robots_state
+                )
                 empty_frontier = result.metrics.get("urls_discovered") == 0 and frontier.isEmpty()
                 for df in result.cached[:-1]:  # keep new_unique: the seen set references it
                     df.unpersist()

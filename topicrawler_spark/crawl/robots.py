@@ -135,30 +135,12 @@ class RobotsTable:
     delays: dict[str, int] | None
 
 
-def build_robots_table(
-    spark: "SparkSession",
-    pages: "DataFrame",
-    cfg,
-    collect_delays_max: int = 100_000,
-) -> RobotsTable:
-    """Parse all robots.txt rows into the host_rules DataFrame, executor-side.
-
-    Works on the raw pages table (url column) or the prepared store
-    (canonical key); raw robots URLs are canonicalized first so both shapes
-    key by the canonical host — the same key ``host_classkey(canon)``
-    produces at lookup time (a www.foo.com/robots.txt row must serve
-    candidates keyed foo.com). When several source rows share a canonical
-    host the lexicographically smallest source URL wins, matching the
-    prepared store's min_by convention.
-    """
+def parse_robots_rows(robots_rows: "DataFrame", cfg) -> "DataFrame":
+    """(url, html) robots rows -> (src, host, delay_ms, allows, disallows),
+    parsed executor-side in one Arrow ``mapInPandas`` pass. ``src`` is the
+    canonicalized source URL, kept for deterministic same-host dedup."""
     import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
 
-    url_col = "url" if "url" in pages.columns else "_page_canon"
-    robots_rows = pages.filter(F.col(url_col).endswith("/robots.txt")).select(
-        F.col(url_col).alias("url"), "html"
-    )
     ua, dmin, dmax = cfg.user_agent, cfg.min_delay_ms, cfg.max_robots_delay_s
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,14 +163,46 @@ def build_robots_table(
                 out["disallows"].append(r.disallows)
             yield pd.DataFrame(out, columns=["src", "host", "delay_ms", "allows", "disallows"])
 
-    parsed = robots_rows.mapInPandas(gen, "src string, " + HOST_RULES_SCHEMA)
+    return robots_rows.mapInPandas(gen, "src string, " + HOST_RULES_SCHEMA)
+
+
+def dedupe_host_rules(parsed: "DataFrame") -> "DataFrame":
+    """One row per host; smallest source URL wins (prepared-store min_by
+    convention)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     w = Window.partitionBy("host").orderBy("src")
-    rules = (
+    return (
         parsed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "src")
-        .cache()
     )
+
+
+def build_robots_table(
+    spark: "SparkSession",
+    pages: "DataFrame",
+    cfg,
+    collect_delays_max: int = 100_000,
+) -> RobotsTable:
+    """Parse all robots.txt rows into the host_rules DataFrame, executor-side.
+
+    Works on the raw pages table (url column) or the prepared store
+    (canonical key); raw robots URLs are canonicalized first so both shapes
+    key by the canonical host — the same key ``host_classkey(canon)``
+    produces at lookup time (a www.foo.com/robots.txt row must serve
+    candidates keyed foo.com). When several source rows share a canonical
+    host the lexicographically smallest source URL wins, matching the
+    prepared store's min_by convention.
+    """
+    from pyspark.sql import functions as F
+
+    url_col = "url" if "url" in pages.columns else "_page_canon"
+    robots_rows = pages.filter(F.col(url_col).endswith("/robots.txt")).select(
+        F.col(url_col).alias("url"), "html"
+    )
+    rules = dedupe_host_rules(parse_robots_rows(robots_rows, cfg)).cache()
     head = rules.select("host", "delay_ms").limit(collect_delays_max + 1).collect()
     delays = (
         None

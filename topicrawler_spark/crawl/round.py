@@ -58,6 +58,10 @@ class CrawlState:
     # sharded Bloom pre-filter over seen url_hashes; None below the
     # activation threshold (the driver builds it from `seen` on activation)
     bloom: DataFrame | None = None
+    # robots rules discovered so far (HOST_RULES_SCHEMA rows); only used in
+    # prerequisite-scheduling mode, where rules are crawl state rather than
+    # a crawl-static table. None = nothing known yet.
+    robots: DataFrame | None = None
 
 
 @dataclass
@@ -209,8 +213,78 @@ def run_round(
     )
     n_salt = 1 if small_round else cfg.n_salt
 
+    # ---- 0. prerequisite scheduling (PreconditionEnforcer mapping) --------
+    # In prereq mode robots rules are crawl STATE (state.robots), not a
+    # crawl-static table: content URLs of a host with unknown rules are held
+    # in the frontier while the host's /robots.txt is synthesized as a
+    # HIGHEST-priority prerequisite entry; once rules are known, gating
+    # happens here at admission time and robots-disallowed entries leave the
+    # crawl (they are already marked seen).
+    is_robots_url = F.col("canon").endswith("/robots.txt")
+    prereq_mode = cfg.schedule_robots_prereqs
+    if prereq_mode:
+        rules_df = state.robots
+        known_hosts = (
+            rules_df.select("host")
+            if rules_df is not None
+            else spark.createDataFrame([], "host string")
+        )
+        hosts_needing = (
+            state.frontier.join(known_hosts, "host", "left_anti")
+            .filter(~is_robots_url)
+            .select("host")
+            .distinct()
+            .join(
+                state.frontier.filter(is_robots_url).select("host").distinct(),
+                "host",
+                "left_anti",
+            )
+        )
+        from pyspark.sql import Window as _W
+
+        # reverse the canonical host classKey (hostname or hostname#port;
+        # #443 implies https) back into the robots URL — already canonical
+        # by construction, so canon == url and the fingerprint is exact
+        hostname = F.regexp_replace(F.col("host"), "#[0-9]+$", "")
+        port = F.regexp_extract(F.col("host"), "#([0-9]+)$", 1)
+        robots_url = F.concat(
+            F.when(port == "443", F.lit("https://")).otherwise(F.lit("http://")),
+            F.when((port == "") | (port == "443"), hostname).otherwise(
+                F.concat_ws(":", hostname, port)
+            ),
+            F.lit("/robots.txt"),
+        )
+        prereqs = hosts_needing.select("host", robots_url.alias("url")).select(
+            "url",
+            F.col("url").alias("canon"),
+            url_hash64(F.col("url")).alias("url_hash"),
+            "host",
+            F.lit(0).alias("directive"),  # HIGHEST: prerequisites jump the queue
+            F.lit(1).alias("precedence"),
+            F.lit(round_no).alias("ord_r"),
+            # negative ordinals: unique, and sort before this round's content
+            (-F.row_number().over(_W.orderBy("host"))).cast("long").alias("ord_k"),
+            F.lit(0).alias("hops"),
+            F.lit(None).cast("string").alias("via"),
+            F.lit(0).alias("retries"),
+            F.lit(0).alias("not_before"),
+        )
+        prereqs.cache()
+        with_prereqs = state.frontier.unionByName(prereqs)
+        known_rows = with_prereqs.join(known_hosts, "host", "left_semi")
+        # admission-time robots gate; disallowed rows drop out of the crawl
+        allowed_known = gate_by_robots(known_rows, rules_df, bcast=small_round)
+        unknown_rows = with_prereqs.join(known_hosts, "host", "left_anti")
+        frontier_eff = allowed_known.unionByName(unknown_rows)
+        admissible = allowed_known.unionByName(unknown_rows.filter(is_robots_url))
+    else:
+        rules_df = robots.rules
+        prereqs = None
+        frontier_eff = state.frontier
+        admissible = state.frontier
+
     # ---- 1. politeness admission (salted per-host top-k + queue budget) ----
-    delays = robots.delays
+    delays = None if prereq_mode else robots.delays
     default_quota = cfg.host_quota(cfg.min_delay_ms)
     if host_fetched_map is not None and delays is not None:
         # per-round budget k = min(quota, total-budget - fetched) folded into
@@ -231,7 +305,7 @@ def run_round(
             if k_rows
             else spark.createDataFrame([], "host string, k long")
         )
-        fr = state.frontier.join(F.broadcast(k_df), "host", "left").withColumn(
+        fr = admissible.join(F.broadcast(k_df), "host", "left").withColumn(
             "k", F.coalesce("k", F.lit(min(default_quota, budget)).cast("long"))
         )
     else:
@@ -250,11 +324,16 @@ def run_round(
                     F.lit(cfg.round_ms) / F.greatest(F.col("delay_ms"), F.lit(1))
                 ).cast("int"),
             )
-        quota_df = robots.rules.select("host", quota_expr.alias("quota"))
+        rules_src = (
+            rules_df
+            if rules_df is not None
+            else spark.createDataFrame([], "host string, delay_ms int")
+        )
+        quota_df = rules_src.select("host", quota_expr.alias("quota"))
         q_side = F.broadcast(quota_df) if small_round else quota_df
         hf_side = F.broadcast(state.host_fetched) if small_round else state.host_fetched
         fr = (
-            state.frontier.join(q_side, "host", "left")
+            admissible.join(q_side, "host", "left")
             .join(hf_side, "host", "left")
             .withColumn("quota", F.coalesce("quota", F.lit(default_quota)))
             .withColumn("fetched", F.coalesce("fetched", F.lit(0)))
@@ -306,7 +385,7 @@ def run_round(
         and frontier_size_hint < cfg.fetch_broadcast_max
     )
     adm_b = F.broadcast(admitted) if bcast_adm else admitted
-    remaining = state.frontier.alias("_fr").join(
+    remaining = frontier_eff.alias("_fr").join(
         adm_b.alias("_adm"),
         F.col("_fr.canon") == F.col("_adm.canon"),
         "left_anti",
@@ -341,18 +420,20 @@ def run_round(
     got_page = F.col("html").isNotNull()
 
     # ---- 3. score + expand in ONE Arrow pass over html, then drop it -------
+    score_cols = {
+        "text": F.when(
+            got_page & ~is_robots, ops.scoring_text_udf(F.col("html"))
+        ).otherwise(F.lit(None)),
+        "outlinks": F.when(
+            got_page & ~is_robots, extract_outlinks_udf(F.col("html"), F.col("url"))
+        ).otherwise(F.array().cast("array<struct<url:string,hop:string>>")),
+        "fetch_ok": got_page,
+    }
+    if prereq_mode:
+        # carry fetched robots bodies past the html drop for the rules update
+        score_cols["robots_html"] = F.when(is_robots & got_page, F.col("html"))
     scored = (
-        fetched.withColumns(
-            {
-                "text": F.when(
-                    got_page & ~is_robots, ops.scoring_text_udf(F.col("html"))
-                ).otherwise(F.lit(None)),
-                "outlinks": F.when(
-                    got_page & ~is_robots, extract_outlinks_udf(F.col("html"), F.col("url"))
-                ).otherwise(F.array().cast("array<struct<url:string,hop:string>>")),
-                "fetch_ok": got_page,
-            }
-        )
+        fetched.withColumns(score_cols)
         .drop("html")
         .withColumn(
             "perp",
@@ -380,6 +461,39 @@ def run_round(
         (F.coalesce(F.col("retries"), F.lit(0)) + F.lit(1)).alias("retries"),
         F.lit(round_no + cfg.retry_delay_rounds()).alias("not_before"),
     )
+
+    # ---- 3c. robots rules update (prereq mode) ----------------------------
+    if prereq_mode:
+        from topicrawler_spark.crawl.robots import dedupe_host_rules, parse_robots_rows
+
+        fetched_rules = parse_robots_rows(
+            scored.filter(is_robots & F.col("fetch_ok")).select(
+                F.col("canon").alias("url"), F.col("robots_html").alias("html")
+            ),
+            cfg,
+        )
+        # a failed robots fetch records allow-all defaults so the host's
+        # content proceeds next round (batch simplification of the robots-
+        # retry snooze); '~' sorts after URL characters so parsed rules win
+        failed_defaults = (
+            admitted.filter(is_robots_url)
+            .join(scored.select("canon"), "canon", "left_anti")
+            .select(
+                F.lit("~").alias("src"),
+                "host",
+                F.lit(cfg.min_delay_ms).alias("delay_ms"),
+                F.array().cast("array<string>").alias("allows"),
+                F.array().cast("array<string>").alias("disallows"),
+            )
+        )
+        additions = dedupe_host_rules(fetched_rules.unionByName(failed_defaults))
+        if rules_df is not None:
+            additions = additions.join(rules_df.select("host"), "host", "left_anti")
+            robots_next = rules_df.unionByName(additions)
+        else:
+            robots_next = additions
+    else:
+        robots_next = state.robots
 
     # ---- 4. candidate chain --------------------------------------------------
     cands = (
@@ -491,12 +605,18 @@ def run_round(
     # this union is duplicate-free by construction: a pure append, no shuffle
     # (at scale: an Iceberg append to the url_hash-bucketed seen table).
     seen_new = state.seen.unionByName(new_unique.select("url_hash", "canon"))
-
-    enq = gate_by_robots(
-        new_unique,
-        robots.rules if cfg.respect_robots else None,
-        bcast=small_round,
-    )
+    if prereq_mode:
+        # synthesized prerequisites are scheduled -> seen (duplicate-free:
+        # a host whose robots URL was ever scheduled before is known by now)
+        seen_new = seen_new.unionByName(prereqs.select("url_hash", "canon"))
+        # gating is deferred to admission time (rules may not be known yet)
+        enq = new_unique
+    else:
+        enq = gate_by_robots(
+            new_unique,
+            rules_df if cfg.respect_robots else None,
+            bcast=small_round,
+        )
 
     # deterministic ordinal: dense rank over (parent ordinal, link index).
     # Tiny rounds: one global window (single reducer — trivial at this size)
@@ -593,10 +713,13 @@ def run_round(
         )
     else:
         bloom_next = None
-    new_state = CrawlState(round_no, frontier_next, seen_new, host_fetched, bloom_next)
+    new_state = CrawlState(
+        round_no, frontier_next, seen_new, host_fetched, bloom_next, robots_next
+    )
+    prereq_cached = (prereqs,) if prereq_mode else ()
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
-        cached=(admitted, scored) + zip_cached + (new_unique,),
+        cached=(admitted, scored) + zip_cached + prereq_cached + (new_unique,),
         # the per-round discovery counter: the deduped candidate set, straight
         # off its cache — counting `enq` would re-run the robots UDF
         enqueued=new_unique,

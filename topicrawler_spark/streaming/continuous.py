@@ -47,7 +47,8 @@ def foreach_batch_crawl(
         from topicrawler_spark.crawl.round import CrawlState
 
         state = CrawlState(
-            state.round_no, batch_df, state.seen, state.host_fetched, state.bloom
+            state.round_no, batch_df, state.seen, state.host_fetched,
+            state.bloom, state.robots,
         )
         new_state, result = run_round(spark, state, pages, scorer_bc, robots, cfg)
         store.commit_round(new_state, result)
