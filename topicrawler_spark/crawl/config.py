@@ -43,9 +43,11 @@ class CrawlConfig:
     # the seen set costs more (serially!) than a parallel shuffle anti-join
     seen_broadcast_max: int = 50_000
     # below this round size the ordinal rank runs as one global window
-    # (single reducer, but the whole round stays one action-free query);
-    # above it the two-phase distributed rank amortizes its extra collect
-    ordinal_single_max: int = 10_000
+    # (a single reducer over small rows — trivial up to a few hundred
+    # thousand); above it the lazy two-phase distributed rank takes over
+    # (range partition + local rank + windowed prefix-sum offsets, still
+    # action-free). Both keep the round one Spark query.
+    ordinal_single_max: int = 200_000
     # below this frontier size the fetch join broadcasts the admitted set
     # (driver collect+build is cheap); above it the join runs as a
     # co-partitioned sort-merge against the canon-partitioned page store —

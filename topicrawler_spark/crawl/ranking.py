@@ -50,16 +50,20 @@ def per_host_top_k(
 
 def zip_with_order(
     df: DataFrame, order_cols: list[str], name: str = "ord_k"
-) -> tuple[DataFrame, int, DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """Add a dense 1-based rank following the global order of ``order_cols``
-    without funneling all rows through one window partition. Returns
-    (ranked_df, total_rows, cached_intermediate) — the total falls out of the
-    offset computation for free (no extra count job); the caller owns
-    unpersisting the cached intermediate once downstream state is
-    checkpointed.
+    without funneling all rows through one window partition, and WITHOUT any
+    driver-side action: range-partition on the key, rank within partitions,
+    and derive per-partition offsets from a running-sum window over the tiny
+    (n_partitions-row) partition-size aggregate — then broadcast-join them
+    back. The whole rank stays one lazy query, so a crawl round remains
+    action-free in every regime (the old collect-based offsets added a
+    synchronous driver round trip and an extra job launch per round).
 
-    The input should be cached by the caller: the offsets collect is the
-    action that materializes it."""
+    Returns (ranked_df, cached_intermediate); the caller owns unpersisting
+    the cached intermediate once downstream state is checkpointed. The cache
+    pins the partition layout so the two consumers (local ranks, size
+    aggregate) see identical partition ids."""
     spark = df.sparkSession
     n_part = max(spark.sparkContext.defaultParallelism, 1)
     keyed = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).sortWithinPartitions(
@@ -69,20 +73,16 @@ def zip_with_order(
     with_pid.cache()
     w_local = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     local = with_pid.withColumn("_lrank", F.row_number().over(w_local))
-    sizes = {r["_pid"]: r["c"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    if offsets:
-        off_df = spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-        )
-        local = local.join(F.broadcast(off_df), "_pid", "left")
-    else:
-        local = local.withColumn("_off", F.lit(0).cast("long"))
-    out = local.withColumn(name, (F.col("_off") + F.col("_lrank")).cast("long")).drop(
-        "_pid", "_lrank", "_off"
+    # offsets: exclusive prefix sum of partition sizes — a single-reducer
+    # window over at most n_part rows (trivially small by construction)
+    sizes = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = sizes.select(
+        "_pid", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("long").alias("_off")
     )
-    return out, acc, with_pid
+    out = (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(name, (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_pid", "_lrank", "_off")
+    )
+    return out, with_pid

@@ -633,7 +633,7 @@ def run_round(
         enq = enq.withColumn("ord_k", F.row_number().over(w_ord).cast("long"))
         zip_cached: tuple = ()
     else:
-        enq, _acc, _zc = zip_with_order(
+        enq, _zc = zip_with_order(
             enq, ["p_ord_r", "p_ord_k", "link_idx"], name="ord_k"
         )
         zip_cached = (_zc,)
