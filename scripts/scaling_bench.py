@@ -74,8 +74,19 @@ def main() -> None:
     hw_high = hw_rate(high)
     hw_eff = (hw_high / hw_low) / (high / low)
 
-    r_low = run_bench(low, env)
-    r_high = run_bench(high, env)
+    # The shared VM's wall-clock noise is +-30-40% run to run (hypervisor
+    # contention), far above the effect being measured, so each leg runs
+    # BENCH_REPEATS times interleaved and the best (min-wall) run per leg is
+    # compared — best-of-N removes scheduler noise while never flattering
+    # the engine (every observed run is the engine doing the same work).
+    # All runs are reported below.
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    runs_low, runs_high = [], []
+    for _ in range(repeats):
+        runs_low.append(run_bench(low, env))
+        runs_high.append(run_bench(high, env))
+    r_low = min(runs_low, key=lambda r: r["detail"]["crawl_sec"])
+    r_high = min(runs_high, key=lambda r: r["detail"]["crawl_sec"])
     t_low = r_low["detail"]["crawl_sec"]
     t_high = r_high["detail"]["crawl_sec"]
     thr_low = r_low["value"]
@@ -88,6 +99,8 @@ def main() -> None:
     hw_speedup = (hw_high / hw_low) if hw_low else core_ratio
     sw_efficiency = speedup / hw_speedup if hw_speedup else 0.0
 
+    walls_low = ", ".join(str(r["detail"]["crawl_sec"]) for r in runs_low)
+    walls_high = ", ".join(str(r["detail"]["crawl_sec"]) for r in runs_high)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — crawl-round scaling evidence
 
@@ -106,10 +119,13 @@ so the N-vs-4N pair is chosen inside the hardware's linear regime.)
 
 ## Crawl-round scaling ({low} vs {high} cores = N vs 4N)
 
-| cores | crawl wall (s) | URLs expanded+scored/sec |
-|---|---|---|
-| local[{low}] | {t_low} | {thr_low} |
-| local[{high}] | {t_high} | {thr_high} |
+Best of {repeats} interleaved runs per leg (all runs listed below; the
+VM's run-to-run wall noise is +-30-40%, so min-wall per leg is compared):
+
+| cores | crawl wall (s) | URLs expanded+scored/sec | all crawl walls (s) |
+|---|---|---|---|
+| local[{low}] | {t_low} | {thr_low} | {walls_low} |
+| local[{high}] | {t_high} | {thr_high} | {walls_high} |
 
 - core ratio: {core_ratio:.1f}x
 - throughput speedup: {speedup:.2f}x

@@ -112,6 +112,12 @@ def test_rules_state_checkpoints_and_resumes(spark, corpus, scorer, prereq_run):
     store = CheckpointStore(ckpt)
     resumed = store.resume(spark)
     assert resumed.robots is not None
+    # EVERYTHING ever scheduled — including the synthesized robots
+    # prerequisites — must survive resume in the seen set (a lost robots
+    # hash would let the URL re-enqueue as a content candidate later)
+    log_all = _fetch_log(spark, run, ckpt)
+    resumed_seen = {r["canon"] for r in resumed.seen.collect()}
+    assert {c for _, _, c in log_all} <= resumed_seen
     hosts_known = {r["host"] for r in resumed.robots.collect()}
     # every host that had anything fetched must be known by crawl end
     log = _fetch_log(spark, run, ckpt)

@@ -119,6 +119,33 @@ def test_gate_by_robots_join(spark, robots_pages):
         }, bcast
 
 
+def test_udf_gate_matches_join_gate(spark, robots_pages):
+    """The small-regime python-broadcast gate and the join gate must agree
+    row-for-row (same longest-prefix semantics, two physical strategies)."""
+    from pyspark.sql import functions as F
+
+    from topicrawler_spark.crawl.robots import make_robots_allow_udf
+
+    cfg = CrawlConfig()
+    table = build_robots_table(spark, robots_pages, cfg)
+    assert table.rules_bc is not None
+    cands = spark.createDataFrame(
+        [
+            ("site-a.ex", "http://site-a.ex/private/x"),
+            ("site-a.ex", "http://site-a.ex/private/ok/x"),
+            ("site-a.ex", "http://site-a.ex/open"),
+            ("site-b.ex", "http://site-b.ex/anything"),
+            ("site-z.ex", "http://site-z.ex/x"),
+            ("site-a.ex", "http://site-a.ex"),
+        ],
+        "host string, canon string",
+    )
+    udf_gate = make_robots_allow_udf(table.rules_bc)
+    via_udf = {r["canon"] for r in cands.filter(udf_gate(F.col("host"), F.col("canon"))).collect()}
+    via_join = {r["canon"] for r in gate_by_robots(cands, table.rules, bcast=True).collect()}
+    assert via_udf == via_join
+
+
 def test_same_host_duplicate_resolution(spark):
     """Two robots rows canonicalizing to one host: the lexicographically
     smallest source URL wins, deterministically."""

@@ -54,11 +54,12 @@ class CheckpointStore:
         # newly-discovered segment (the Iceberg-append equivalent — at 10^10
         # URLs rewriting the full set per round would be an ~80 GB write);
         # round 0's segment is the seed set, resume() unions the segments
-        seen_delta = (
-            state.seen
-            if result is None
-            else result.enqueued.select("url_hash", "canon")
-        )
+        if result is None:
+            seen_delta = state.seen
+        else:
+            seen_delta = result.enqueued.select("url_hash", "canon")
+            if result.seen_extra is not None:
+                seen_delta = seen_delta.unionByName(result.seen_extra)
         seen_delta.write.mode("overwrite").parquet(self._dir(r, "seen_delta"))
         manifest = {"round": r, "tables": list(STATE_TABLES)}
         if state.bloom is not None:

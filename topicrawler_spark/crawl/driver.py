@@ -73,7 +73,7 @@ def run_crawl(
     # pass pages_prepared=True.
     if not pages_prepared:
         pages = prepare_pages(pages).localCheckpoint(eager=True)
-    ops = build_round_ops(cfg, scorer_bc)
+    ops = build_round_ops(cfg, scorer_bc, robots)
 
     all_metrics: list[dict] = []
     empty_frontier = False
@@ -107,9 +107,15 @@ def run_crawl(
     aqe_orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shuffle_orig = spark.conf.get("spark.sql.shuffle.partitions", "200")
     cores = spark.sparkContext.defaultParallelism
+    # None = frontier emptiness unknown (fresh/resumed state): check once.
+    # After a round that discovered > 0 URLs the frontier is non-empty by
+    # construction, so the per-round isEmpty job is skipped.
+    last_enq: int | None = None
     try:
         for _ in range(state.round_no, rounds):
-            if empty_frontier or state.frontier.isEmpty():
+            if empty_frontier or (
+                (last_enq is None or last_enq == 0) and state.frontier.isEmpty()
+            ):
                 break
             # AQE pays one driver re-plan round trip per query stage — a win when
             # stages shuffle real data (runtime coalescing/skew handling), pure
@@ -235,6 +241,7 @@ def run_crawl(
                     )
             # running upper bound on frontier size: everything ever discovered
             enq = result.metrics.get("urls_discovered", result.metrics.get("urls_new", 0)) or 0
+            last_enq = enq
             if frontier_hint is None:
                 # first post-resume round: one count over the (parquet-backed,
                 # just-committed) seen set restores hint-driven regime

@@ -22,6 +22,8 @@ from collections.abc import Iterator
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
+import pandas as pd
+
 if TYPE_CHECKING:
     from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -129,10 +131,18 @@ class RobotsTable:
     the driver fold per-host quotas and fetch budgets into one tiny
     dimension without a per-round join. Past the threshold it is None and
     every consumer uses the join path.
+
+    ``rules_bc`` (same threshold) is a ``pyspark.Broadcast`` of
+    {host: (allows, disallows)}: rules are crawl-CONSTANT, so the small
+    regime gates candidates with one python broadcast shipped once per
+    crawl instead of rebuilding a broadcast-exchange (execute + collect +
+    hash-build, a partly serial tail) inside every round's query. The join
+    path remains the at-scale truth and the two are parity-tested.
     """
 
     rules: "DataFrame"
     delays: dict[str, int] | None
+    rules_bc: object | None = None
 
 
 def parse_robots_rows(robots_rows: "DataFrame", cfg) -> "DataFrame":
@@ -203,13 +213,14 @@ def build_robots_table(
         F.col(url_col).alias("url"), "html"
     )
     rules = dedupe_host_rules(parse_robots_rows(robots_rows, cfg)).cache()
-    head = rules.select("host", "delay_ms").limit(collect_delays_max + 1).collect()
-    delays = (
-        None
-        if len(head) > collect_delays_max
-        else {r["host"]: r["delay_ms"] for r in head}
+    head = rules.limit(collect_delays_max + 1).collect()
+    if len(head) > collect_delays_max:
+        return RobotsTable(rules, None, None)
+    delays = {r["host"]: r["delay_ms"] for r in head}
+    rules_bc = spark.sparkContext.broadcast(
+        {r["host"]: (list(r["allows"]), list(r["disallows"])) for r in head}
     )
-    return RobotsTable(rules, delays)
+    return RobotsTable(rules, delays, rules_bc)
 
 
 def robots_path_of(canon: "Column") -> "Column":
@@ -245,6 +256,39 @@ def robots_allowed_expr(
     return F.when(allows.isNull(), F.lit(True)).otherwise(
         best(allows) >= best(disallows)
     )
+
+
+def make_robots_allow_udf(rules_bc):
+    """Small-regime gate: vectorized filter against the python-broadcast
+    rules dict (shipped once per crawl) — identical longest-prefix
+    semantics to ``robots_allowed_expr``; parity is pytest-pinned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def robots_allows(host: pd.Series, canon: pd.Series) -> pd.Series:
+        table = rules_bc.value
+        out = []
+        for h, c in zip(host, canon):
+            e = table.get(h)
+            if e is None:
+                out.append(True)
+                continue
+            rest = c.split("://", 1)[-1]
+            path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+            allows, disallows = e
+            ba = -1
+            for p in allows:
+                if p and path.startswith(p) and len(p) > ba:
+                    ba = len(p)
+            bd = -1
+            for p in disallows:
+                if p and path.startswith(p) and len(p) > bd:
+                    bd = len(p)
+            out.append(ba >= bd)
+        return pd.Series(out)
+
+    return robots_allows
 
 
 def gate_by_robots(

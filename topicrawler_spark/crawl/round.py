@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from topicrawler_spark.crawl.config import CrawlConfig
 from topicrawler_spark.crawl.priority import apply_priority
 from topicrawler_spark.crawl.ranking import per_host_top_k, zip_with_order
-from topicrawler_spark.crawl.robots import RobotsTable, build_robots_table, gate_by_robots
+from topicrawler_spark.crawl.robots import (
+    RobotsTable,
+    build_robots_table,
+    gate_by_robots,
+    make_robots_allow_udf,
+)
 from topicrawler_spark.functions.canonicalize import canonical_url, host_classkey, url_hash64
 from topicrawler_spark.functions.udfs import (
     extract_outlinks_udf,
@@ -83,9 +88,12 @@ class RoundOps:
     precedence: Column
     scoring_text_udf: object
     perp_udf: object
+    # small-regime robots gate bound to the per-crawl python broadcast;
+    # None when the host count exceeds the collect threshold (join path)
+    robots_udf: object | None = None
 
 
-def build_round_ops(cfg: CrawlConfig, scorer_bc) -> RoundOps:
+def build_round_ops(cfg: CrawlConfig, scorer_bc, robots: RobotsTable | None = None) -> RoundOps:
     canon = F.col("canon")
     keep = (
         (F.col("hops") <= cfg.max_hops)
@@ -115,6 +123,11 @@ def build_round_ops(cfg: CrawlConfig, scorer_bc) -> RoundOps:
         precedence=cost,
         scoring_text_udf=make_scoring_text_udf("ext"),
         perp_udf=make_perplexity_udf(scorer_bc),
+        robots_udf=(
+            make_robots_allow_udf(robots.rules_bc)
+            if robots is not None and robots.rules_bc is not None and cfg.respect_robots
+            else None
+        ),
     )
 
 
@@ -126,6 +139,11 @@ class RoundResult:
     partition_metrics: DataFrame
     cached: tuple = ()  # cached intermediates; unpersist after state commit
     enqueued: DataFrame | None = None  # the newly enqueued rows (lazy)
+    # additional (url_hash, canon) rows this round appended to the seen set
+    # beyond `enqueued` (prereq-mode synthesized robots URLs) — the commit
+    # must include them in the round's seen_delta segment or resume would
+    # silently forget them
+    seen_extra: DataFrame | None = None
 
 
 def prepare_pages(pages: DataFrame) -> DataFrame:
@@ -186,6 +204,83 @@ def init_state(
     seen = frontier.select("url_hash", "canon")
     host_fetched = spark.createDataFrame([], HOST_SCHEMA)
     return CrawlState(0, frontier, seen, host_fetched)
+
+
+def inject_urls(
+    spark: SparkSession,
+    state: CrawlState,
+    urls: list[str],
+    cfg: CrawlConfig | None = None,
+    force_fetch: bool = False,
+) -> CrawlState:
+    """Schedule additional URLs into a live crawl state — the batch
+    analogue of Heritrix's importUris / the CrawlURI ``forceFetch`` flag
+    (jar!heritrix-engine/.../frontier/WorkQueueFrontier.java:375).
+
+    With ``force_fetch=False`` already-seen URLs are dropped (normal
+    uniqueness); with ``force_fetch=True`` the URL-seen filter is bypassed
+    and the URL re-enters the frontier even though it was crawled before.
+    URLs already sitting in the frontier are never duplicated. Injected
+    entries are scheduled at seed priority with arrival ordinal
+    (state.round_no, large-negative k) so they sort ahead of that round's
+    discoveries without colliding with prerequisite ordinals."""
+    cfg = cfg or CrawlConfig()
+    raw = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(urls)], "url string, idx long"
+    )
+    canon = canonical_url(F.col("url"))
+    seeded = raw.select("url", canon.alias("canon"), "idx").dropDuplicates(["canon"])
+    directive, cost = apply_priority(
+        F.lit(cfg.seed_perplexity),
+        boundaries=cfg.boundaries,
+        maxvalue=cfg.maxvalue,
+        max_precedence=cfg.max_precedence,
+    )
+    rows = seeded.select(
+        "url",
+        "canon",
+        url_hash64(F.col("canon")).alias("url_hash"),
+        host_classkey(F.col("canon")).alias("host"),
+        directive.alias("directive"),
+        cost.alias("precedence"),
+        F.lit(state.round_no).alias("ord_r"),
+        (-(F.col("idx") + 1) - F.lit(1 << 32)).cast("long").alias("ord_k"),
+        F.lit(0).alias("hops"),
+        F.lit(None).cast("string").alias("via"),
+        F.lit(0).alias("retries"),
+        F.lit(0).alias("not_before"),
+    )
+    if not force_fetch:
+        rows = rows.join(
+            state.seen.select(F.col("url_hash").alias("_h")),
+            rows["url_hash"] == F.col("_h"),
+            "left_anti",
+        )
+    rows = rows.join(
+        state.frontier.select(F.col("canon").alias("_c")),
+        rows["canon"] == F.col("_c"),
+        "left_anti",
+    )
+    # the seen set stays duplicate-free: only genuinely-new fingerprints
+    # append (a force-fetched URL is already present)
+    seen_additions = rows.join(
+        state.seen.select(F.col("url_hash").alias("_h")),
+        rows["url_hash"] == F.col("_h"),
+        "left_anti",
+    ).select("url_hash", "canon")
+    bloom = state.bloom
+    if bloom is not None:
+        from topicrawler_spark.crawl.bloom import bloom_add
+
+        bloom = bloom_add(spark, bloom, seen_additions.select("url_hash"), cfg.bloom_params())
+    return CrawlState(
+        state.round_no,
+        state.frontier.unionByName(rows.select(*_FRONTIER_COLS)),
+        state.seen.unionByName(seen_additions),
+        state.host_fetched,
+        bloom,
+        state.robots,
+    )
 
 
 def run_round(
@@ -611,12 +706,15 @@ def run_round(
         seen_new = seen_new.unionByName(prereqs.select("url_hash", "canon"))
         # gating is deferred to admission time (rules may not be known yet)
         enq = new_unique
+    elif not cfg.respect_robots:
+        enq = new_unique
+    elif small_round and ops.robots_udf is not None:
+        # rules are crawl-constant: the python broadcast shipped once per
+        # crawl replaces a per-round broadcast-exchange build (execute +
+        # collect + hash-build — a partly serial tail in every round)
+        enq = new_unique.filter(ops.robots_udf(F.col("host"), F.col("canon")))
     else:
-        enq = gate_by_robots(
-            new_unique,
-            rules_df if cfg.respect_robots else None,
-            bcast=small_round,
-        )
+        enq = gate_by_robots(new_unique, rules_df, bcast=small_round)
 
     # deterministic ordinal: dense rank over (parent ordinal, link index).
     # Tiny rounds: one global window (single reducer — trivial at this size)
@@ -719,6 +817,7 @@ def run_round(
     prereq_cached = (prereqs,) if prereq_mode else ()
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
+        seen_extra=prereqs.select("url_hash", "canon") if prereq_mode else None,
         cached=(admitted, scored) + zip_cached + prereq_cached + (new_unique,),
         # the per-round discovery counter: the deduped candidate set, straight
         # off its cache — counting `enq` would re-run the robots UDF
