@@ -60,6 +60,26 @@ def test_force_fetch_bypasses_seen(spark, setup):
     assert fetched_canon in logged
 
 
+def test_durable_injection_roundtrips_checkpoint(spark, setup, tmp_path):
+    """With a store, the injection commits as its own atomic round: resume
+    replays the post-injection frontier AND seen additions."""
+    from topicrawler_spark.crawl.checkpoint import CheckpointStore
+
+    corpus, pages, scorer, cfg, _ = setup
+    ckpt = str(tmp_path / "ck")
+    run = run_crawl(spark, pages, corpus.seeds, scorer, 2, cfg, checkpoint_dir=ckpt)
+    store = CheckpointStore(ckpt)
+    url = "http://injected.example/durable"
+    after = inject_urls(spark, run.state, [url], cfg, store=store)
+    assert after.round_no == run.state.round_no + 1
+    resumed = store.resume(spark)
+    assert resumed.round_no == after.round_no
+    assert [r for r in resumed.frontier.collect() if r["url"] == url]
+    assert resumed.seen.filter(resumed.seen.canon == url).count() == 1
+    # seen set has no duplicate fingerprints after the injection segment
+    assert resumed.seen.count() == resumed.seen.select("url_hash").distinct().count()
+
+
 def test_unseen_injection_enqueues_and_marks_seen(spark, setup):
     corpus, pages, scorer, cfg, run = setup
     state = run.state

@@ -43,7 +43,15 @@ class CheckpointStore:
     def _manifest(self, round_no: int) -> str:
         return os.path.join(self.root, f"r{round_no:05d}", "MANIFEST.json")
 
-    def commit_round(self, state: CrawlState, result: RoundResult | None) -> None:
+    def commit_round(
+        self,
+        state: CrawlState,
+        result: RoundResult | None,
+        seen_delta: DataFrame | None = None,
+    ) -> None:
+        """``seen_delta`` overrides the segment written for a result-less
+        commit (injection rounds append only their additions; the round-0
+        default of the full seen set would duplicate earlier segments)."""
         r = state.round_no
         for name, df in (
             ("frontier", state.frontier),
@@ -55,7 +63,8 @@ class CheckpointStore:
         # URLs rewriting the full set per round would be an ~80 GB write);
         # round 0's segment is the seed set, resume() unions the segments
         if result is None:
-            seen_delta = state.seen
+            if seen_delta is None:
+                seen_delta = state.seen
         else:
             seen_delta = result.enqueued.select("url_hash", "canon")
             if result.seen_extra is not None:

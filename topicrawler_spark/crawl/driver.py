@@ -190,19 +190,37 @@ def run_crawl(
                 t0 = time.time()
                 frontier = state.frontier.localCheckpoint(eager=True)
                 t_ck = time.time() - t0
+                t_cnt = 0.0
                 t0 = time.time()
-                if result.metrics.get("urls_discovered", 0) is None:
-                    # cheap: a rescan of the cached new_unique segment
-                    result.metrics["urls_discovered"] = result.enqueued.count()
-                t_cnt = time.time() - t0
-                t0 = time.time()
+                need_enq = result.metrics.get("urls_discovered", 0) is None
                 if distributed_budget:
                     # never collect the (at-scale, host-cardinality) fetch
                     # totals: materialize and cut lineage executor-side
                     host_fetched = state.host_fetched.localCheckpoint(eager=True)
                     total_fetched = _fetched_total(host_fetched)
+                    if need_enq:
+                        result.metrics["urls_discovered"] = result.enqueued.count()
                 else:
-                    host_rows = [(r["host"], r["fetched"]) for r in state.host_fetched.collect()]
+                    # ONE job for the per-host totals AND the discovery
+                    # counter (both are cache rescans; fusing them saves a
+                    # job launch per round — fixed driver latency that does
+                    # not shrink with cores). The counter rides along as a
+                    # sentinel-keyed row ('~' never starts a host key).
+                    hf = state.host_fetched.select("host", "fetched")
+                    if need_enq:
+                        hf = hf.unionByName(
+                            result.enqueued.groupBy()
+                            .agg(F.count(F.lit(1)).alias("fetched"))
+                            .select(F.lit("~enq").alias("host"), "fetched")
+                        )
+                    rows = hf.collect()
+                    host_rows = [
+                        (r["host"], r["fetched"]) for r in rows if r["host"] != "~enq"
+                    ]
+                    if need_enq:
+                        result.metrics["urls_discovered"] = next(
+                            (int(r["fetched"]) for r in rows if r["host"] == "~enq"), 0
+                        )
                     host_fetched_map = dict(host_rows)
                     total_fetched = sum(f for _, f in host_rows)
                     host_fetched = (

@@ -212,6 +212,7 @@ def inject_urls(
     urls: list[str],
     cfg: CrawlConfig | None = None,
     force_fetch: bool = False,
+    store=None,
 ) -> CrawlState:
     """Schedule additional URLs into a live crawl state — the batch
     analogue of Heritrix's importUris / the CrawlURI ``forceFetch`` flag
@@ -223,7 +224,13 @@ def inject_urls(
     URLs already sitting in the frontier are never duplicated. Injected
     entries are scheduled at seed priority with arrival ordinal
     (state.round_no, large-negative k) so they sort ahead of that round's
-    discoveries without colliding with prerequisite ordinals."""
+    discoveries without colliding with prerequisite ordinals.
+
+    Passing a ``CheckpointStore`` as ``store`` makes the injection durable:
+    it commits as its own result-less round (manifest-last, atomic) whose
+    seen_delta segment holds exactly the additions — resume then replays
+    the post-injection state, including the Bloom filter. Without a store
+    the additions live only in the returned in-memory state."""
     cfg = cfg or CrawlConfig()
     raw = spark.createDataFrame(
         [(u, i) for i, u in enumerate(urls)], "url string, idx long"
@@ -273,14 +280,20 @@ def inject_urls(
         from topicrawler_spark.crawl.bloom import bloom_add
 
         bloom = bloom_add(spark, bloom, seen_additions.select("url_hash"), cfg.bloom_params())
-    return CrawlState(
-        state.round_no,
+    new_state = CrawlState(
+        state.round_no + (1 if store is not None else 0),
         state.frontier.unionByName(rows.select(*_FRONTIER_COLS)),
         state.seen.unionByName(seen_additions),
         state.host_fetched,
         bloom,
         state.robots,
     )
+    if store is not None:
+        store.commit_round(new_state, None, seen_delta=seen_additions)
+        resumed = store.resume(spark)
+        if resumed is not None:
+            new_state = resumed
+    return new_state
 
 
 def run_round(
