@@ -34,11 +34,7 @@ from topicrawler_spark.crawl.robots import (
     make_robots_allow_udf,
 )
 from topicrawler_spark.functions.canonicalize import canonical_url, host_classkey, url_hash64
-from topicrawler_spark.functions.udfs import (
-    extract_outlinks_udf,
-    make_perplexity_udf,
-    make_scoring_text_udf,
-)
+from topicrawler_spark.functions.udfs import make_page_process_udf
 
 FRONTIER_SCHEMA = (
     "url string, canon string, url_hash long, host string, directive int, "
@@ -86,8 +82,7 @@ class RoundOps:
     cand_keep: Column  # scope/hygiene predicate over (hops, canon)
     directive: Column  # priority mapping over via_perp
     precedence: Column
-    scoring_text_udf: object
-    perp_udf: object
+    page_udf: object  # html -> (text, outlinks, perp), one Arrow pass
     # small-regime robots gate bound to the per-crawl python broadcast;
     # None when the host count exceeds the collect threshold (join path)
     robots_udf: object | None = None
@@ -121,8 +116,7 @@ def build_round_ops(cfg: CrawlConfig, scorer_bc, robots: RobotsTable | None = No
         cand_keep=keep,
         directive=directive,
         precedence=cost,
-        scoring_text_udf=make_scoring_text_udf("ext"),
-        perp_udf=make_perplexity_udf(scorer_bc),
+        page_udf=make_page_process_udf(scorer_bc, "ext"),
         robots_udf=(
             make_robots_allow_udf(robots.rules_bc)
             if robots is not None and robots.rules_bc is not None and cfg.respect_robots
@@ -528,13 +522,14 @@ def run_round(
     got_page = F.col("html").isNotNull()
 
     # ---- 3. score + expand in ONE Arrow pass over html, then drop it -------
+    # extract + outlinks + perplexity are fused into a single pandas UDF:
+    # html crosses to Python once and (text, outlinks, perp) come back once
+    # — chaining separate UDFs would ship the extracted text JVM->Python a
+    # second time and add an ArrowEvalPython stage to the hot path.
     score_cols = {
-        "text": F.when(
-            got_page & ~is_robots, ops.scoring_text_udf(F.col("html"))
-        ).otherwise(F.lit(None)),
-        "outlinks": F.when(
-            got_page & ~is_robots, extract_outlinks_udf(F.col("html"), F.col("url"))
-        ).otherwise(F.array().cast("array<struct<url:string,hop:string>>")),
+        "_pp": F.when(
+            got_page & ~is_robots, ops.page_udf(F.col("html"), F.col("url"))
+        ),
         "fetch_ok": got_page,
     }
     if prereq_mode:
@@ -543,10 +538,17 @@ def run_round(
     scored = (
         fetched.withColumns(score_cols)
         .drop("html")
-        .withColumn(
-            "perp",
-            F.when(F.col("text").isNotNull(), ops.perp_udf(F.col("text"))).otherwise(F.lit(None)),
+        .withColumns(
+            {
+                "text": F.col("_pp.text"),
+                "outlinks": F.coalesce(
+                    F.col("_pp.outlinks"),
+                    F.array().cast("array<struct<url:string,hop:string>>"),
+                ),
+                "perp": F.col("_pp.perp"),
+            }
         )
+        .drop("_pp")
     )
     scored.cache()
 

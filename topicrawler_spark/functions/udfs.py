@@ -81,6 +81,41 @@ def extract_outlinks_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def make_page_process_udf(scorer_broadcast, cleaner: str = "ext"):
+    """html -> (text, outlinks, perp) in ONE Arrow pass.
+
+    The crawl hot path previously chained two pandas UDFs (extract, then
+    perplexity over the extracted text), which ships the text
+    JVM->Python->JVM->Python — an extra serialization round and an extra
+    ArrowEvalPython stage per page. Fusing them halves the Python traffic:
+    html crosses once, (text, outlinks, perp) come back once."""
+    clean = CLEANERS[cleaner]
+
+    _PAGE_TYPE = StructType(
+        [
+            StructField("text", StringType()),
+            StructField("outlinks", _OUTLINK_TYPE),
+            StructField("perp", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(_PAGE_TYPE)
+    def page_process(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+        scorer = scorer_broadcast.value
+        texts, links, perps = [], [], []
+        for b, base in zip(html, base_url):
+            h = _decode(b)
+            t = java_trim(extract_text(h, clean))
+            texts.append(t)
+            links.append(
+                [{"url": u, "hop": hp} for u, hp in extract_outlinks(h, base or "")]
+            )
+            perps.append(scorer.score_page_text(t))
+        return pd.DataFrame({"text": texts, "outlinks": links, "perp": perps})
+
+    return page_process
+
+
 def make_perplexity_udf(scorer_broadcast):
     """text -> perplexity via a broadcast ``DocumentScorer``.
 
