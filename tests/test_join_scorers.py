@@ -122,6 +122,103 @@ def test_sequence_perplexity_oovreflm_rule(built):
     assert p_plain == pytest.approx(p_manual)
 
 
+def _order_n_candidates(spark, seqs, order):
+    """Corpus n-grams ∪ reversals ∪ OOV/partially-seen synthetics: exercises
+    the seen path, every backoff early return, the top-order zero-history
+    fallback, and the punk floor."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    grams = set()
+    vocab = sorted({w for s in seqs for w in s})
+    for s in seqs:
+        padded = s
+        for i in range(max(0, len(padded) - order + 1)):
+            grams.add(" ".join(padded[i : i + order]))
+    cands = set(grams)
+    cands.update(" ".join(reversed(g.split())) for g in grams)
+    # rotations: mostly-unseen suffixes with seen histories and vice versa
+    cands.update(
+        " ".join(g.split()[1:] + g.split()[:1]) for g in list(grams)[: 50]
+    )
+    # OOV last word / OOV middle word / all-OOV
+    for g in list(grams)[:10]:
+        parts = g.split()
+        cands.add(" ".join(parts[:-1] + ["zzz"]))
+        cands.add(" ".join(["zzz"] + parts[1:]))
+    cands.add(" ".join(["zzz"] * order))
+    cands.add(" ".join(vocab[:order]))
+    cands = {g for g in cands if len(g.split()) == order}
+    return spark.createDataFrame([(g,) for g in sorted(cands)], "ngram string")
+
+
+@pytest.mark.parametrize("order,mincount", [(3, 1), (3, 2), (5, 1)])
+def test_kn_join_order_n_parity(spark, order, mincount):
+    """score_kn_join at n=3 (incl. a pruned table: nf==0 reset + pruned-nom
+    early returns) and the production n=5 must match LocalLM.kneser_ney
+    branch-for-branch."""
+    from topicrawler_spark.lm.counting import score_kn_join
+
+    seqs = [t.split() for t in TEXTS * 2] + [
+        "the cat sat on the mat quietly while dogs bark".split(),
+        "a bird and a cat sat on a log".split(),
+    ]
+    lm = LocalLM.from_token_sequences(seqs, order=order, mincount=mincount)
+    sentences = spark.createDataFrame([(s,) for s in seqs], "tokens array<string>")
+    counts = count_ngrams(sentences, order=order, mincount=mincount).cache()
+    cand = _order_n_candidates(spark, seqs, order)
+    got = {
+        r["ngram"]: r["kn_log10"] for r in score_kn_join(cand, counts, order).collect()
+    }
+    assert len(got) > 20
+    for g, v in got.items():
+        want = lm.kneser_ney_log10(g.split(" "))
+        assert math.isfinite(v), g
+        assert v == pytest.approx(want, rel=1e-9), (g, v, want)
+    counts.unpersist()
+
+
+@pytest.mark.parametrize("order,mincount", [(3, 1), (3, 2), (5, 1)])
+def test_sb_join_order_n_parity(spark, order, mincount):
+    from topicrawler_spark.lm.counting import score_stupid_backoff_join
+
+    seqs = [t.split() for t in TEXTS * 2] + [
+        "the cat sat on the mat quietly while dogs bark".split(),
+        "a bird and a cat sat on a log".split(),
+    ]
+    lm = LocalLM.from_token_sequences(seqs, order=order, mincount=mincount)
+    sentences = spark.createDataFrame([(s,) for s in seqs], "tokens array<string>")
+    counts = count_ngrams(sentences, order=order, mincount=mincount).cache()
+    cand = _order_n_candidates(spark, seqs, order)
+    got = {
+        r["ngram"]: r["sb_log10"]
+        for r in score_stupid_backoff_join(cand, counts, order).collect()
+    }
+    assert len(got) > 20
+    for g, v in got.items():
+        want = lm.stupid_backoff_log10(g.split(" "))
+        assert v == pytest.approx(want, rel=1e-9), (g, v, want)
+    counts.unpersist()
+
+
+def test_general_join_scorers_match_bigram_twins(spark, built):
+    """At n=2 the general scorers must reproduce the dedicated bigram joins."""
+    from topicrawler_spark.lm.counting import score_kn_join, score_stupid_backoff_join
+
+    _, counts, cand = built
+    kn2 = {r["ngram"]: r["kn_log10"] for r in score_kn_bigram_join(cand, counts).collect()}
+    kng = {r["ngram"]: r["kn_log10"] for r in score_kn_join(cand, counts, 2).collect()}
+    assert kng == pytest.approx(kn2)
+    sb2 = {
+        r["ngram"]: r["sb_log10"]
+        for r in score_stupid_backoff_bigram_join(cand, counts).collect()
+    }
+    sbg = {
+        r["ngram"]: r["sb_log10"]
+        for r in score_stupid_backoff_join(cand, counts, 2).collect()
+    }
+    assert sbg == pytest.approx(sb2)
+
+
 def test_kn_join_parity(spark, built):
     lm, counts, cand = built
     got = {

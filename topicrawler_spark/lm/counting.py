@@ -276,6 +276,213 @@ def kn_discounts_from_histogram(N: list[list[int]], order: int, discount: float 
     return D
 
 
+def build_kn_stats(counts: DataFrame) -> DataFrame:
+    """Per-ngram continuation-cardinality dimension for the order-n join
+    scorers: ``(ngram, n, cnt, nf_tot, np_tot, nfp_tot)`` where nf_tot(g) is
+    the number of counted ngrams extending g on the right by one word
+    (``LocalLM.nf_total``), np_tot on the left, nfp_tot on both sides —
+    i.e. the *totals* twin of ``build_lm_counts``'s N1/N2/N3 split.
+
+    Deriving the tables by joining back onto ``counts`` reproduces the
+    reference's rule that a pruned/absent key answers zero continuation
+    counts (lucenebased index rows carry them on the ngram's own row).
+    At corpus scale persist this once next to the count table
+    (``write_lm_counts``) instead of rebuilding per scoring job — it is
+    three groupBys + three equi-joins on the ngram key."""
+    multi = counts.filter(F.col("n") > 1)
+    nf = multi.groupBy(_drop_last(F.col("ngram")).alias("_k")).agg(
+        F.count(F.lit(1)).alias("nf_tot")
+    )
+    np_ = multi.groupBy(_drop_first(F.col("ngram")).alias("_k")).agg(
+        F.count(F.lit(1)).alias("np_tot")
+    )
+    nfp = counts.filter(F.col("n") > 2).groupBy(_middle(F.col("ngram")).alias("_k")).agg(
+        F.count(F.lit(1)).alias("nfp_tot")
+    )
+    out = counts
+    for dim in (nf, np_, nfp):
+        out = out.join(dim, out["ngram"] == dim["_k"], "left").drop("_k")
+    return out
+
+
+def _suffix(toks: Column, n: int, j: int) -> Column:
+    """Last j words of an n-token ngram: w_{n-j+1}..w_n."""
+    return F.array_join(F.slice(toks, n - j + 1, j), " ")
+
+
+def _hist_suffix(toks: Column, n: int, j: int) -> Column:
+    """j words ending at position n-1: w_{n-j}..w_{n-1} (the backoff
+    histories — suffixes of the ngram's n-1-word prefix)."""
+    return F.array_join(F.slice(toks, n - j, j), " ")
+
+
+def _join_stats_keys(
+    ngrams_df: DataFrame, stats: DataFrame, keys: dict[str, Column], cols: list[str]
+) -> DataFrame:
+    """Left-join the stats dimension once per key expression; joined columns
+    are prefixed ``_{tag}_``. All equi-joins on the ngram string (broadcast
+    or SMJ under AQE)."""
+    out = ngrams_df
+    for tag, key_expr in keys.items():
+        dim = stats.select(
+            F.col("ngram").alias(f"_key_{tag}"),
+            *[F.col(c).alias(f"_{tag}_{c}") for c in cols],
+        )
+        out = out.join(dim, key_expr == F.col(f"_key_{tag}"), "left").drop(f"_key_{tag}")
+    return out
+
+
+def score_stupid_backoff_join(
+    ngrams_df: DataFrame,
+    lm_counts: DataFrame,
+    order: int,
+    discount: float = 0.4,
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """Join-based Stupid Backoff at arbitrary order n>=2 — the corpus-scale
+    twin of ``LocalLM.stupid_backoff`` (lucenebased/StupidBackoffLM.score),
+    branch-for-branch including its early-return quirks: an OOV last word
+    scores ud = discount/(U+1); a miss while backing off at a middle order
+    returns the previous level's score times one discount; a miss at the top
+    order returns the previous score undiscounted. Input rows must carry
+    ``order``-token ngrams. 2n-1 equi-joins against the count table, no
+    per-row Python. Adds ``sb_log10``."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    n = order
+    counts_dim = lm_counts.select("ngram", "cnt")
+    U = lm_counts.filter(F.col("n") == 1).count()
+    ud = discount / (U + 1.0)
+    toks = F.split(F.col(ngram_col), " ")
+    keys = {f"s{j}": _suffix(toks, n, j) for j in range(1, n + 1)}
+    keys.update({f"h{j}": _hist_suffix(toks, n, j) for j in range(1, n)})
+    out = _join_stats_keys(ngrams_df, counts_dim, keys, ["cnt"])
+
+    def c(tag: str) -> Column:
+        return F.coalesce(F.col(f"_{tag}_cnt"), F.lit(0)).cast("double")
+
+    branches: list[tuple[Column, Column]] = []
+    # ends_with_oov / zero unigram count -> ud (vocab == counted unigrams)
+    branches.append((c("s1") == 0, F.lit(ud)))
+    s = c("s1") / F.lit(float(U))
+    for i in range(2, n):  # middle orders
+        nom, denom = c(f"s{i}"), c(f"h{i-1}")
+        # miss below the top order: previous score takes ONE discount
+        branches.append(((nom == 0) | (denom == 0), s * F.lit(discount)))
+        s = nom / denom
+    nom, denom = c(f"s{n}"), c(f"h{n-1}")
+    branches.append(((nom == 0) | (denom == 0), s))  # top-order miss: no discount
+    result = nom / denom
+    for cond, val in reversed(branches):
+        result = F.when(cond, val).otherwise(result)
+    out = out.withColumn("sb_log10", F.log10(result))
+    return out.drop(*[f"_{tag}_cnt" for tag in keys])
+
+
+def score_kn_join(
+    ngrams_df: DataFrame,
+    lm_counts: DataFrame,
+    order: int,
+    discount: float = -1.0,
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """Join-based interpolated modified Kneser-Ney at arbitrary order n>=2 —
+    the corpus-scale twin of ``LocalLM.kneser_ney``
+    (lucenebased/KneserNeyLM.kn), reproduced branch-for-branch: the unigram
+    continuation probability with its count/1-over-U early returns, the
+    middle-order backoff chain with the nfp/nf/np max, the nf==0 pruning
+    reset, the nfph==0 and pruned-nom fix-up early returns, the top-order
+    zero-history fallback through the previous history, the punk
+    unknown-word floor, and the final [punk, 1.0] clamp.
+
+    The reference recursion's loop state (pkn, lp, nfh_prev, ch, sub_str)
+    threads through column expressions; its early ``return``s become a
+    first-match-wins CASE chain, so the whole scorer is one projection over
+    2n-1 equi-joins against the ``build_kn_stats`` dimension — no per-row
+    Python, no driver data besides the 12-number histogram. Input rows must
+    carry ``order``-token ngrams. Adds ``kn_log10``."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    n = order
+    stats = build_kn_stats(lm_counts)
+    N, S = sum_ngrams_histogram(lm_counts)
+    D = kn_discounts_from_histogram(N, n, discount)
+    U, B, S1 = N[1][0], N[2][0], S[1]
+    ud = (1.0 / B) * (D[1] / U)
+    toks = F.split(F.col(ngram_col), " ")
+    keys = {f"s{j}": _suffix(toks, n, j) for j in range(1, n + 1)}
+    keys.update({f"h{j}": _hist_suffix(toks, n, j) for j in range(1, n)})
+    out = _join_stats_keys(ngrams_df, stats, keys, ["cnt", "nf_tot", "np_tot", "nfp_tot"])
+
+    def col0(tag: str, c: str) -> Column:
+        return F.coalesce(F.col(f"_{tag}_{c}"), F.lit(0)).cast("double")
+
+    # punk: nf_total of the second-to-last word over B, times D1/U; ud when
+    # that word has no successors (LocalLM._punk)
+    nf_pe = col0("h1", "nf_tot")
+    punk = F.when(nf_pe == 0, F.lit(ud)).otherwise(
+        (nf_pe / F.lit(float(B))) * F.lit(D[1] / U)
+    )
+    branches: list[tuple[Column, Column]] = []
+    c1 = col0("s1", "cnt")
+    branches.append((c1 == 0, punk))  # ends_with_oov
+    # unigram continuation: np_total(w_n)/B; zero-continuation early returns
+    np1 = col0("s1", "np_tot")
+    branches.append((np1 == 0, c1 / F.lit(float(S1))))  # c>0 here (oov already out)
+    pkn: Column = np1 / F.lit(float(B))
+    lp: Column = F.lit(0.0)
+    nfh_prev: Column = F.lit(0.0)
+    ch_prev: Column = F.lit(0.0)
+    c_sub_prev: Column = F.lit(0.0)
+    for i in range(2, n):  # middle orders; hist = h{i-1}, sub = s{i}
+        nf_h = col0(f"h{i-1}", "nf_tot")
+        nfph = F.greatest(nf_h, col0(f"h{i-1}", "np_tot"), col0(f"h{i-1}", "nfp_tot"))
+        # nfph==0 early return, with the pruned-chain fix-up through the
+        # PREVIOUS level's history when that level completed normally
+        fix_ok = (ch_prev != 0) & (lp != 0) & (nfh_prev != 0)
+        nom_fix = F.greatest(c_sub_prev - F.lit(float(D[i])), F.lit(0.0))
+        pkn_fix = (
+            F.when(nom_fix == 0, F.lit(0.0)).otherwise(nom_fix / ch_prev)
+            + (F.lit(float(D[i])) / ch_prev) * nfh_prev * lp
+        )
+        branches.append((nfph == 0, F.when(fix_ok, pkn_fix).otherwise(pkn)))
+        nfh = F.when(nf_h == 0, F.lit(1.0)).otherwise(nf_h)  # pruning reset (HACK)
+        nom = F.greatest(col0(f"s{i}", "np_tot") - F.lit(float(D[i])), F.lit(0.0))
+        pkn_new = (
+            F.when(nom == 0, F.lit(0.0)).otherwise(nom / nfph)
+            + (F.lit(float(D[i])) * nfh / nfph) * pkn
+        )
+        branches.append((nom == 0, pkn_new))  # pruned-nom early return
+        lp, pkn = pkn, pkn_new
+        nfh_prev = nfh
+        ch_prev = col0(f"h{i-1}", "cnt")
+        c_sub_prev = col0(f"s{i}", "cnt")
+    # top order: hist = h{n-1} (the full n-1-word prefix), sub = the ngram
+    ch_top = col0(f"h{n-1}", "cnt")
+    nom_fb = F.greatest(c_sub_prev - F.lit(float(D[n])), F.lit(0.0))
+    pkn_fb = (
+        F.when(nom_fb == 0, F.lit(0.0)).otherwise(nom_fb / ch_prev)
+        + (F.lit(float(D[n])) / ch_prev) * nfh_prev * lp
+    )
+    fb_cond = (lp != 0) & (nfh_prev != 0) & (ch_prev != 0)
+    branches.append((ch_top == 0, F.when(fb_cond, pkn_fb).otherwise(pkn)))
+    nfh_top = F.when(col0(f"h{n-1}", "nf_tot") == 0, F.lit(1.0)).otherwise(
+        col0(f"h{n-1}", "nf_tot")
+    )
+    nom_top = F.greatest(col0(f"s{n}", "cnt") - F.lit(float(D[n])), F.lit(0.0))
+    pkn_top = (
+        F.when(nom_top == 0, F.lit(0.0)).otherwise(nom_top / ch_top)
+        + (F.lit(float(D[n])) * nfh_top / ch_top) * pkn
+    )
+    result = pkn_top
+    for cond, val in reversed(branches):
+        result = F.when(cond, val).otherwise(result)
+    prob = F.least(F.greatest(result, punk), F.lit(1.0))
+    out = out.withColumn("kn_log10", F.log10(prob))
+    added = [f"_{tag}_{c}" for tag in keys for c in ("cnt", "nf_tot", "np_tot", "nfp_tot")]
+    return out.drop(*added)
+
+
 def score_kn_bigram_join(
     bigrams_df: DataFrame,
     lm_counts: DataFrame,
