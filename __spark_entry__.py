@@ -100,6 +100,226 @@ _DUCK_TOKS = (
 )
 
 
+def _kn2_core(cand_sql: str) -> str:
+    """The order-2 KN CTE cascade over a token CTE named ``srctoks`` (column
+    ``tok``): count tables, the count-of-counts histogram with the 4-step
+    discount monotonicity fix-up (i = 5..2: zero-fix N[i], then bump N[i-1]),
+    D = N1/(N1+2*N2), continuation totals, and the scored ``k`` table
+    (punk/pkn) over the candidates produced by ``cand_sql``. Shared by the
+    ``kn_bigram_logprob`` and ``doc_perplexity_kn2`` oracles — the engine
+    branch-for-branch, independent of the Spark implementation."""
+    return r"""
+g1 AS (SELECT tok[i] AS ngram FROM srctoks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM srctoks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+uc AS (SELECT ngram, count(*) AS cnt FROM g1 GROUP BY 1),
+bc AS (SELECT ngram, count(*) AS cnt FROM g2 GROUP BY 1),
+sc AS (SELECT (SELECT count(*) FROM uc) AS u,
+              (SELECT CAST(sum(cnt) AS DOUBLE) FROM uc) AS s1,
+              (SELECT count(*) FROM bc) AS b),
+hist AS (
+  SELECT 1 AS n, least(cnt, 5) AS cls, count(*) AS num FROM uc GROUP BY 2
+  UNION ALL
+  SELECT 2 AS n, least(cnt, 5) AS cls, count(*) AS num FROM bc GROUP BY 2
+),
+nn AS (
+  SELECT n,
+    coalesce(sum(num) FILTER (WHERE cls = 1), 0) AS n1,
+    coalesce(sum(num) FILTER (WHERE cls = 2), 0) AS n2,
+    coalesce(sum(num) FILTER (WHERE cls = 3), 0) AS n3,
+    coalesce(sum(num) FILTER (WHERE cls = 4), 0) AS n4,
+    coalesce(sum(num) FILTER (WHERE cls = 5), 0) AS n5
+  FROM hist GROUP BY n
+),
+f5  AS (SELECT n, n1, n2, n3, n4, CASE WHEN n5 = 0 THEN 1 ELSE n5 END AS n5 FROM nn),
+f5b AS (SELECT n, n1, n2, n3, CASE WHEN 5*n5 >= 4*n4 THEN 5*n5 + 1 ELSE n4 END AS n4, n5 FROM f5),
+f4  AS (SELECT n, n1, n2, n3, CASE WHEN n4 = 0 THEN 1 ELSE n4 END AS n4, n5 FROM f5b),
+f4b AS (SELECT n, n1, n2, CASE WHEN 4*n4 >= 3*n3 THEN 4*n4 + 1 ELSE n3 END AS n3, n4, n5 FROM f4),
+f3  AS (SELECT n, n1, n2, CASE WHEN n3 = 0 THEN 1 ELSE n3 END AS n3, n4, n5 FROM f4b),
+f3b AS (SELECT n, n1, CASE WHEN 3*n3 >= 2*n2 THEN 3*n3 + 1 ELSE n2 END AS n2, n3 FROM f3),
+f2  AS (SELECT n, n1, CASE WHEN n2 = 0 THEN 1 ELSE n2 END AS n2 FROM f3b),
+f2b AS (SELECT n, CASE WHEN 2*n2 >= 1*n1 THEN 2*n2 + 1 ELSE n1 END AS n1, n2 FROM f2),
+dd AS (SELECT
+  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 1) AS d1,
+  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 2) AS d2),
+nft AS (SELECT string_split(ngram, ' ')[1] AS w, count(*) AS nf FROM bc GROUP BY 1),
+npt AS (SELECT string_split(ngram, ' ')[2] AS w, count(*) AS np FROM bc GROUP BY 1),
+cand AS (""" + cand_sql + r"""),
+j AS (
+  SELECT cand.ngram, bc.cnt AS c12, c1.cnt AS c1, c2.cnt AS c2,
+         nft.nf AS nf1, npt.np AS np2
+  FROM cand
+  LEFT JOIN bc ON cand.ngram = bc.ngram
+  LEFT JOIN uc c1 ON string_split(cand.ngram, ' ')[1] = c1.ngram
+  LEFT JOIN uc c2 ON string_split(cand.ngram, ' ')[2] = c2.ngram
+  LEFT JOIN nft ON string_split(cand.ngram, ' ')[1] = nft.w
+  LEFT JOIN npt ON string_split(cand.ngram, ' ')[2] = npt.w
+),
+k AS (
+  SELECT ngram,
+    CASE WHEN nf1 IS NULL THEN (1.0/b)*(d1/u)
+         ELSE (nf1/CAST(b AS DOUBLE))*(d1/u) END AS punk,
+    CASE
+      WHEN c2 IS NULL THEN
+        CASE WHEN nf1 IS NULL THEN (1.0/b)*(d1/u)
+             ELSE (nf1/CAST(b AS DOUBLE))*(d1/u) END
+      WHEN np2 IS NULL THEN c2/s1
+      WHEN c1 IS NULL THEN np2/CAST(b AS DOUBLE)
+      ELSE greatest(coalesce(c12, 0) - d2, 0.0)/c1
+           + (d2 * CAST(coalesce(nf1, 1) AS DOUBLE) / c1) * (np2/CAST(b AS DOUBLE))
+    END AS pkn
+  FROM j, sc, dd
+)"""
+
+
+# the order-3 KN oracle: the n=3 recursion branch-for-branch — unigram
+# continuation with early returns, the i=2 backoff level (nfph max, nf==0
+# pruning reset, pruned-nom early return), the top level incl. the
+# zero-history fallback through the previous history, punk, and the clamp
+_KN3_SQL_TMPL = r"""
+WITH {TOKS},
+g1 AS (SELECT tok[i] AS ngram FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+g3 AS (SELECT tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-2)) AS t(i)),
+uc AS (SELECT ngram, count(*) AS cnt FROM g1 GROUP BY 1),
+bc AS (SELECT ngram, count(*) AS cnt FROM g2 GROUP BY 1),
+tc AS (SELECT ngram, count(*) AS cnt FROM g3 GROUP BY 1),
+sc AS (SELECT (SELECT count(*) FROM uc) AS u,
+              (SELECT CAST(sum(cnt) AS DOUBLE) FROM uc) AS s1,
+              (SELECT count(*) FROM bc) AS b),
+hist AS (
+  SELECT 1 AS n, least(cnt, 5) AS cls, count(*) AS num FROM uc GROUP BY 2
+  UNION ALL
+  SELECT 2 AS n, least(cnt, 5) AS cls, count(*) AS num FROM bc GROUP BY 2
+  UNION ALL
+  SELECT 3 AS n, least(cnt, 5) AS cls, count(*) AS num FROM tc GROUP BY 2
+),
+nn AS (
+  SELECT n,
+    coalesce(sum(num) FILTER (WHERE cls = 1), 0) AS n1,
+    coalesce(sum(num) FILTER (WHERE cls = 2), 0) AS n2,
+    coalesce(sum(num) FILTER (WHERE cls = 3), 0) AS n3,
+    coalesce(sum(num) FILTER (WHERE cls = 4), 0) AS n4,
+    coalesce(sum(num) FILTER (WHERE cls = 5), 0) AS n5
+  FROM hist GROUP BY n
+),
+f5  AS (SELECT n, n1, n2, n3, n4, CASE WHEN n5 = 0 THEN 1 ELSE n5 END AS n5 FROM nn),
+f5b AS (SELECT n, n1, n2, n3, CASE WHEN 5*n5 >= 4*n4 THEN 5*n5 + 1 ELSE n4 END AS n4, n5 FROM f5),
+f4  AS (SELECT n, n1, n2, n3, CASE WHEN n4 = 0 THEN 1 ELSE n4 END AS n4, n5 FROM f5b),
+f4b AS (SELECT n, n1, n2, CASE WHEN 4*n4 >= 3*n3 THEN 4*n4 + 1 ELSE n3 END AS n3, n4, n5 FROM f4),
+f3  AS (SELECT n, n1, n2, CASE WHEN n3 = 0 THEN 1 ELSE n3 END AS n3, n4, n5 FROM f4b),
+f3b AS (SELECT n, n1, CASE WHEN 3*n3 >= 2*n2 THEN 3*n3 + 1 ELSE n2 END AS n2, n3 FROM f3),
+f2  AS (SELECT n, n1, CASE WHEN n2 = 0 THEN 1 ELSE n2 END AS n2 FROM f3b),
+f2b AS (SELECT n, CASE WHEN 2*n2 >= 1*n1 THEN 2*n2 + 1 ELSE n1 END AS n1, n2 FROM f2),
+dd AS (SELECT
+  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 1) AS d1,
+  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 2) AS d2,
+  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 3) AS d3),
+nf1t AS (SELECT string_split(ngram, ' ')[1] AS w, count(*) AS v FROM bc GROUP BY 1),
+np1t AS (SELECT string_split(ngram, ' ')[2] AS w, count(*) AS v FROM bc GROUP BY 1),
+nfp1t AS (SELECT string_split(ngram, ' ')[2] AS w, count(*) AS v FROM tc GROUP BY 1),
+nf2t AS (SELECT string_split(ngram, ' ')[1] || ' ' || string_split(ngram, ' ')[2] AS g, count(*) AS v FROM tc GROUP BY 1),
+np2t AS (SELECT string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[3] AS g, count(*) AS v FROM tc GROUP BY 1),
+cand AS (SELECT DISTINCT ngram FROM (
+  SELECT ngram FROM tc
+  UNION ALL
+  SELECT string_split(ngram, ' ')[3] || ' ' || string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[1] FROM tc)),
+j AS (
+  SELECT cand.ngram,
+         u3.cnt AS c_w3, u2.cnt AS c_w2,
+         b23.cnt AS c_w23, b12.cnt AS c_w12, t0.cnt AS c_w123,
+         np1t.v AS np_w3, nf1t.v AS nf_w2, np1b.v AS np_w2, nfp1t.v AS nfp_w2,
+         np2t.v AS np_w23, nf2t.v AS nf_w12
+  FROM cand
+  LEFT JOIN uc u3 ON string_split(cand.ngram, ' ')[3] = u3.ngram
+  LEFT JOIN uc u2 ON string_split(cand.ngram, ' ')[2] = u2.ngram
+  LEFT JOIN bc b23 ON string_split(cand.ngram, ' ')[2] || ' ' || string_split(cand.ngram, ' ')[3] = b23.ngram
+  LEFT JOIN bc b12 ON string_split(cand.ngram, ' ')[1] || ' ' || string_split(cand.ngram, ' ')[2] = b12.ngram
+  LEFT JOIN tc t0 ON cand.ngram = t0.ngram
+  LEFT JOIN np1t ON string_split(cand.ngram, ' ')[3] = np1t.w
+  LEFT JOIN nf1t ON string_split(cand.ngram, ' ')[2] = nf1t.w
+  LEFT JOIN np1t np1b ON string_split(cand.ngram, ' ')[2] = np1b.w
+  LEFT JOIN nfp1t ON string_split(cand.ngram, ' ')[2] = nfp1t.w
+  LEFT JOIN np2t ON string_split(cand.ngram, ' ')[2] || ' ' || string_split(cand.ngram, ' ')[3] = np2t.g
+  LEFT JOIN nf2t ON string_split(cand.ngram, ' ')[1] || ' ' || string_split(cand.ngram, ' ')[2] = nf2t.g
+),
+k1 AS (
+  SELECT ngram, c_w3, c_w2, c_w23, c_w12, c_w123, np_w3, nf_w12,
+    CASE WHEN coalesce(nf_w2, 0) = 0 THEN (1.0/b)*(d1/u)
+         ELSE (nf_w2/CAST(b AS DOUBLE))*(d1/u) END AS punk,
+    np_w3/CAST(b AS DOUBLE) AS p1,
+    greatest(coalesce(nf_w2, 0), coalesce(np_w2, 0), coalesce(nfp_w2, 0)) AS nfph2,
+    CASE WHEN coalesce(nf_w2, 0) = 0 THEN 1.0 ELSE CAST(nf_w2 AS DOUBLE) END AS nfh2,
+    greatest(coalesce(np_w23, 0) - d2, 0.0) AS nom_m
+  FROM j, sc, dd
+),
+k2 AS (
+  SELECT k1.*,
+    CASE WHEN nfph2 = 0 THEN NULL
+         ELSE (CASE WHEN nom_m = 0 THEN 0.0 ELSE nom_m/nfph2 END)
+              + (d2*nfh2/nfph2)*p1 END AS pkn2
+  FROM k1, dd
+),
+k AS (
+  SELECT ngram, punk,
+    CASE
+      WHEN c_w3 IS NULL THEN punk
+      WHEN coalesce(np_w3, 0) = 0 THEN c_w3/s1
+      WHEN nfph2 = 0 THEN p1
+      WHEN nom_m = 0 THEN pkn2
+      WHEN coalesce(c_w12, 0) = 0 THEN
+        CASE WHEN coalesce(c_w2, 0) != 0
+             THEN (CASE WHEN greatest(coalesce(c_w23, 0) - d3, 0.0) = 0 THEN 0.0
+                        ELSE greatest(coalesce(c_w23, 0) - d3, 0.0)/c_w2 END)
+                  + (d3*nfh2/c_w2)*p1
+             ELSE pkn2 END
+      ELSE (CASE WHEN greatest(coalesce(c_w123, 0) - d3, 0.0) = 0 THEN 0.0
+                 ELSE greatest(coalesce(c_w123, 0) - d3, 0.0)/c_w12 END)
+           + (d3*(CASE WHEN coalesce(nf_w12, 0) = 0 THEN 1.0 ELSE CAST(nf_w12 AS DOUBLE) END)/c_w12)*pkn2
+    END AS pkn
+  FROM k2, sc, dd
+)
+SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS kn_log10 FROM k
+"""
+
+# the order-3 Stupid Backoff oracle: OOV -> ud; a miss at the middle order
+# returns the unigram score times one discount; a miss at the top order
+# returns the bigram-level score undiscounted
+_SB3_SQL_TMPL = r"""
+WITH {TOKS},
+g1 AS (SELECT tok[i] AS ngram FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+g3 AS (SELECT tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-2)) AS t(i)),
+uc AS (SELECT ngram, count(*) AS cnt FROM g1 GROUP BY 1),
+bc AS (SELECT ngram, count(*) AS cnt FROM g2 GROUP BY 1),
+tc AS (SELECT ngram, count(*) AS cnt FROM g3 GROUP BY 1),
+cand AS (SELECT DISTINCT ngram FROM (
+  SELECT ngram FROM tc
+  UNION ALL
+  SELECT string_split(ngram, ' ')[3] || ' ' || string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[1] FROM tc)),
+j AS (
+  SELECT cand.ngram,
+         u3.cnt AS c_w3, u2.cnt AS c_w2,
+         b23.cnt AS c_w23, b12.cnt AS c_w12, t0.cnt AS c_w123
+  FROM cand
+  LEFT JOIN uc u3 ON string_split(cand.ngram, ' ')[3] = u3.ngram
+  LEFT JOIN uc u2 ON string_split(cand.ngram, ' ')[2] = u2.ngram
+  LEFT JOIN bc b23 ON string_split(cand.ngram, ' ')[2] || ' ' || string_split(cand.ngram, ' ')[3] = b23.ngram
+  LEFT JOIN bc b12 ON string_split(cand.ngram, ' ')[1] || ' ' || string_split(cand.ngram, ' ')[2] = b12.ngram
+  LEFT JOIN tc t0 ON cand.ngram = t0.ngram
+)
+SELECT ngram,
+  round(log10(CASE
+    WHEN c_w3 IS NULL THEN 0.4 / ((SELECT count(*) FROM uc) + 1.0)
+    WHEN coalesce(c_w23, 0) = 0 OR coalesce(c_w2, 0) = 0
+      THEN (c_w3 / CAST((SELECT count(*) FROM uc) AS DOUBLE)) * 0.4
+    WHEN coalesce(c_w123, 0) = 0 OR coalesce(c_w12, 0) = 0
+      THEN c_w23 / CAST(c_w2 AS DOUBLE)
+    ELSE c_w123 / CAST(c_w12 AS DOUBLE)
+  END), 6) AS sb_log10
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
@@ -302,6 +522,71 @@ def q_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, cand = _bigram_candidates(spark, sf_dir)
     return score_kn_bigram_join(cand, counts).select(
         "ngram", F.round("kn_log10", 6).alias("kn_log10")
+    )
+
+
+def _trigram_candidates(spark: SparkSession, sf_dir: str):
+    """Corpus trigram counts + candidates (trigrams ∪ reversals; reversals
+    are mostly unseen — they exercise the order-3 backoff chain)."""
+    from topicrawler_spark.lm.counting import count_ngrams
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
+    counts = count_ngrams(sentences, order=3).cache()
+    tri = counts.filter(F.col("n") == 3).select("ngram")
+    t = F.split(F.col("ngram"), " ")
+    cand = tri.unionByName(
+        tri.select(F.concat_ws(" ", t[2], t[1], t[0]).alias("ngram"))
+    ).distinct()
+    return counts, cand
+
+
+def q_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 interpolated modified Kneser-Ney via the general order-n join
+    scorer (chained join+column stages; the reference evaluates at n=3 and
+    n=5 — runeval.sh) over trigrams + reversals."""
+    from topicrawler_spark.lm.counting import score_kn_join
+
+    counts, cand = _trigram_candidates(spark, sf_dir)
+    return score_kn_join(cand, counts, 3).select(
+        "ngram", F.round("kn_log10", 6).alias("kn_log10")
+    )
+
+
+def q_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 Stupid Backoff via the general order-n join scorer (incl. the
+    middle-order single-discount and top-order no-discount miss quirks)."""
+    from topicrawler_spark.lm.counting import score_stupid_backoff_join
+
+    counts, cand = _trigram_candidates(spark, sf_dir)
+    return score_stupid_backoff_join(cand, counts, 3).select(
+        "ngram", F.round("sb_log10", 6).alias("sb_log10")
+    )
+
+
+def q_doc_perplexity_kn2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end order-2 KN document perplexity, fully relational: pad each
+    document's tokens with <s>/</s>, count the corpus bigram table, score
+    every document bigram with the join-based KN scorer, and aggregate
+    perp = 10^(-Σlog10 p / N) per document (ModelPerplexity.java:76-84,
+    PerpDoc.java:196-276) — the oracle-checked twin of the crawl's
+    decision variable (broadcast-scorer ``doc_perplexity`` entry)."""
+    from topicrawler_spark.lm.counting import count_ngrams, ngram_windows, score_kn_join
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(_norm_text(F.col("text")), " ")
+    padded = F.concat(F.array(F.lit("<s>")), toks, F.array(F.lit("</s>")))
+    sent = docs.select("doc_id", padded.alias("tokens"))
+    counts = count_ngrams(sent.select("tokens"), order=2).cache()
+    bi = sent.select(
+        "doc_id", F.explode(ngram_windows(F.col("tokens"), 2)).alias("g")
+    ).select("doc_id", F.array_join("g", " ").alias("ngram"))
+    scored = score_kn_join(bi, counts, 2)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.round(
+            F.pow(F.lit(10.0), -(F.sum(F.round("kn_log10", 6)) / F.count(F.lit(1)))), 4
+        ).alias("perp_kn2"),
     )
 
 
@@ -674,6 +959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laplace_bigram_logprob": q_laplace_bigram_logprob,
         "stupid_backoff_bigram": q_stupid_backoff_bigram,
         "kn_bigram_logprob": q_kn_bigram_logprob,
+        "kn_trigram_logprob": q_kn_trigram_logprob,
+        "stupid_backoff_trigram": q_stupid_backoff_trigram,
+        "doc_perplexity_kn2": q_doc_perplexity_kn2,
         "oov_reflm_split": q_oov_reflm_split,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -880,77 +1168,28 @@ SELECT ngram,
   END), 6) AS sb_log10
 FROM j
 """,
-        # the KN oracle replicates the engine branch-for-branch: the
-        # count-of-counts histogram, the 4-step discount monotonicity fix-up
-        # (i = 5..2: zero-fix N[i], then bump N[i-1]), D = N1/(N1+2*N2), the
-        # continuation/backoff branches, and the [punk, 1.0] clamp
-        "kn_bigram_logprob": f"""
-WITH {toks_cte},
-g1 AS (SELECT tok[i] AS ngram FROM toks, UNNEST(generate_series(1, len(tok))) AS t(i)),
-g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM toks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
-uc AS (SELECT ngram, count(*) AS cnt FROM g1 GROUP BY 1),
-bc AS (SELECT ngram, count(*) AS cnt FROM g2 GROUP BY 1),
-sc AS (SELECT (SELECT count(*) FROM uc) AS u,
-              (SELECT CAST(sum(cnt) AS DOUBLE) FROM uc) AS s1,
-              (SELECT count(*) FROM bc) AS b),
-hist AS (
-  SELECT 1 AS n, least(cnt, 5) AS cls, count(*) AS num FROM uc GROUP BY 2
-  UNION ALL
-  SELECT 2 AS n, least(cnt, 5) AS cls, count(*) AS num FROM bc GROUP BY 2
-),
-nn AS (
-  SELECT n,
-    coalesce(sum(num) FILTER (WHERE cls = 1), 0) AS n1,
-    coalesce(sum(num) FILTER (WHERE cls = 2), 0) AS n2,
-    coalesce(sum(num) FILTER (WHERE cls = 3), 0) AS n3,
-    coalesce(sum(num) FILTER (WHERE cls = 4), 0) AS n4,
-    coalesce(sum(num) FILTER (WHERE cls = 5), 0) AS n5
-  FROM hist GROUP BY n
-),
-f5  AS (SELECT n, n1, n2, n3, n4, CASE WHEN n5 = 0 THEN 1 ELSE n5 END AS n5 FROM nn),
-f5b AS (SELECT n, n1, n2, n3, CASE WHEN 5*n5 >= 4*n4 THEN 5*n5 + 1 ELSE n4 END AS n4, n5 FROM f5),
-f4  AS (SELECT n, n1, n2, n3, CASE WHEN n4 = 0 THEN 1 ELSE n4 END AS n4, n5 FROM f5b),
-f4b AS (SELECT n, n1, n2, CASE WHEN 4*n4 >= 3*n3 THEN 4*n4 + 1 ELSE n3 END AS n3, n4, n5 FROM f4),
-f3  AS (SELECT n, n1, n2, CASE WHEN n3 = 0 THEN 1 ELSE n3 END AS n3, n4, n5 FROM f4b),
-f3b AS (SELECT n, n1, CASE WHEN 3*n3 >= 2*n2 THEN 3*n3 + 1 ELSE n2 END AS n2, n3 FROM f3),
-f2  AS (SELECT n, n1, CASE WHEN n2 = 0 THEN 1 ELSE n2 END AS n2 FROM f3b),
-f2b AS (SELECT n, CASE WHEN 2*n2 >= 1*n1 THEN 2*n2 + 1 ELSE n1 END AS n1, n2 FROM f2),
-dd AS (SELECT
-  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 1) AS d1,
-  (SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = 2) AS d2),
-nft AS (SELECT string_split(ngram, ' ')[1] AS w, count(*) AS nf FROM bc GROUP BY 1),
-npt AS (SELECT string_split(ngram, ' ')[2] AS w, count(*) AS np FROM bc GROUP BY 1),
-cand AS (SELECT DISTINCT ngram FROM (
-  SELECT ngram FROM bc
-  UNION ALL
-  SELECT string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[1] FROM bc)),
-j AS (
-  SELECT cand.ngram, bc.cnt AS c12, c1.cnt AS c1, c2.cnt AS c2,
-         nft.nf AS nf1, npt.np AS np2
-  FROM cand
-  LEFT JOIN bc ON cand.ngram = bc.ngram
-  LEFT JOIN uc c1 ON string_split(cand.ngram, ' ')[1] = c1.ngram
-  LEFT JOIN uc c2 ON string_split(cand.ngram, ' ')[2] = c2.ngram
-  LEFT JOIN nft ON string_split(cand.ngram, ' ')[1] = nft.w
-  LEFT JOIN npt ON string_split(cand.ngram, ' ')[2] = npt.w
-),
-k AS (
-  SELECT ngram,
-    CASE WHEN nf1 IS NULL THEN (1.0/b)*(d1/u)
-         ELSE (nf1/CAST(b AS DOUBLE))*(d1/u) END AS punk,
-    CASE
-      WHEN c2 IS NULL THEN
-        CASE WHEN nf1 IS NULL THEN (1.0/b)*(d1/u)
-             ELSE (nf1/CAST(b AS DOUBLE))*(d1/u) END
-      WHEN np2 IS NULL THEN c2/s1
-      WHEN c1 IS NULL THEN np2/CAST(b AS DOUBLE)
-      ELSE greatest(coalesce(c12, 0) - d2, 0.0)/c1
-           + (d2 * CAST(coalesce(nf1, 1) AS DOUBLE) / c1) * (np2/CAST(b AS DOUBLE))
-    END AS pkn
-  FROM j, sc, dd
-)
-SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS kn_log10 FROM k
-""",
+        # the KN oracles replicate the engine branch-for-branch (see _kn2_core)
+        "kn_bigram_logprob": "WITH srctoks AS (SELECT doc_id, "
+        + _DUCK_TOKS
+        + " AS tok FROM documents),"
+        + _kn2_core(
+            "SELECT DISTINCT ngram FROM (SELECT ngram FROM bc UNION ALL "
+            "SELECT string_split(ngram, ' ')[2] || ' ' || string_split(ngram, ' ')[1] FROM bc)"
+        )
+        + "\nSELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS kn_log10 FROM k",
+        "kn_trigram_logprob": _KN3_SQL_TMPL.format(TOKS=toks_cte),
+        "stupid_backoff_trigram": _SB3_SQL_TMPL.format(TOKS=toks_cte),
+        # per-document KN2 perplexity: the bigram-KN core over <s>/</s>-padded
+        # tokens, then the ModelPerplexity aggregate 10^(-Σlog10 p / N) per doc
+        "doc_perplexity_kn2": "WITH srctoks AS (SELECT doc_id, ['<s>'] || "
+        + _DUCK_TOKS
+        + " || ['</s>'] AS tok FROM documents),"
+        + _kn2_core("SELECT DISTINCT ngram FROM bc")
+        + """,
+db AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS ngram FROM srctoks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+k2 AS (SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS l FROM k)
+SELECT doc_id, count(*) AS n_ngrams, round(pow(10.0, -(sum(l)/count(*))), 4) AS perp_kn2
+FROM db JOIN k2 USING (ngram) GROUP BY doc_id""",
         "oov_reflm_split": f"""
 WITH {toks_cte},
 grams AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram

@@ -219,6 +219,40 @@ def test_general_join_scorers_match_bigram_twins(spark, built):
     assert sbg == pytest.approx(sb2)
 
 
+def test_doc_perplexity_kn2_matches_local_lm(spark):
+    """The relational per-document KN2 perplexity entry (pad -> bigram join
+    scoring -> 10^(-Σlog10 p / N)) must equal the in-memory LocalLM scored
+    perplexity on the same corpus (ModelPerplexity.java:76-84 semantics)."""
+    import os
+    import re
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("testdata unavailable")
+    import pandas as pd
+
+    from __spark_entry__ import q_doc_perplexity_kn2
+
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["perp_kn2"])
+        for r in q_doc_perplexity_kn2(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    padded = {
+        int(row.doc_id): ["<s>"] + re.sub(r"\s+", " ", str(row.text).strip()).lower().split(" ") + ["</s>"]
+        for row in docs.itertuples()
+    }
+    lm = LocalLM.from_token_sequences(list(padded.values()), order=2)
+    assert set(got) == set(padded)
+    for doc_id, toks in padded.items():
+        ngrams = [toks[i : i + 2] for i in range(len(toks) - 1)]
+        s = sum(round(lm.kneser_ney_log10(g), 6) for g in ngrams)
+        perp = round(10.0 ** (-(s / len(ngrams))), 4)
+        n, p = got[doc_id]
+        assert n == len(ngrams), doc_id
+        assert p == pytest.approx(perp, abs=2e-4), (doc_id, p, perp)
+
+
 def test_kn_join_parity(spark, built):
     lm, counts, cand = built
     got = {
