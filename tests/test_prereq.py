@@ -143,3 +143,33 @@ def test_rules_state_checkpoints_and_resumes(spark, corpus, scorer, prereq_run):
         _cfg(schedule_robots_prereqs=True), checkpoint_dir=ckpt,
     )
     assert more.state.round_no >= run.state.round_no
+
+
+def test_prereq_ordinal_distributed_regime_parity(
+    spark, corpus, scorer, prereq_run, tmp_path_factory
+):
+    """Forcing the at-scale strategies (ordinal_single_max=0 routes the
+    prereq-host rank AND the enqueue ordinal through the two-phase
+    zip_with_order instead of an unpartitioned window) must reproduce the
+    default prereq crawl exactly, fetch for fetch. This is the mass
+    seed-injection scenario: every host is new at once, and the prereq
+    ordinal must not funnel the host universe through one reducer."""
+    from dataclasses import replace
+
+    base_run, base_ckpt = prereq_run
+    ckpt = str(tmp_path_factory.mktemp("prereq_dist_ckpt"))
+    pages = pages_dataframe(spark, corpus)
+    cfg = replace(
+        _cfg(schedule_robots_prereqs=True),
+        ordinal_single_max=0,
+        salt_min_frontier=0,
+        seen_broadcast_max=0,
+        fetch_broadcast_max=0,
+        n_salt=4,
+    )
+    run = run_crawl(
+        spark, pages, corpus.seeds, scorer, ROUNDS, cfg, checkpoint_dir=ckpt
+    )
+    assert sorted(_fetch_log(spark, run, ckpt)) == sorted(
+        _fetch_log(spark, base_run, base_ckpt)
+    )

@@ -342,8 +342,6 @@ def run_round(
                 "left_anti",
             )
         )
-        from pyspark.sql import Window as _W
-
         # reverse the canonical host classKey (hostname or hostname#port;
         # #443 implies https) back into the robots URL — already canonical
         # by construction, so canon == url and the fingerprint is exact
@@ -356,7 +354,27 @@ def run_round(
             ),
             F.lit("/robots.txt"),
         )
-        prereqs = hosts_needing.select("host", robots_url.alias("url")).select(
+        prereq_urls = hosts_needing.select("host", robots_url.alias("url"))
+        # negative ordinals: unique, and sort before this round's content.
+        # Bounded by NEW hosts this round — but a mass seed injection makes
+        # that the whole host universe at once, so the rank must not be a
+        # single-reducer window. Same regime split as the enqueue ordinal:
+        # tiny rounds keep the trivial global window (round stays one query),
+        # otherwise the two-phase distributed rank.
+        if (
+            frontier_size_hint is not None
+            and frontier_size_hint < cfg.ordinal_single_max
+        ):
+            from pyspark.sql import Window as _W
+
+            prereq_urls = prereq_urls.withColumn(
+                "_hrank", F.row_number().over(_W.orderBy("host")).cast("long")
+            )
+            prereq_zip_cached: tuple = ()
+        else:
+            prereq_urls, _pzc = zip_with_order(prereq_urls, ["host"], name="_hrank")
+            prereq_zip_cached = (_pzc,)
+        prereqs = prereq_urls.select(
             "url",
             F.col("url").alias("canon"),
             url_hash64(F.col("url")).alias("url_hash"),
@@ -364,8 +382,7 @@ def run_round(
             F.lit(0).alias("directive"),  # HIGHEST: prerequisites jump the queue
             F.lit(1).alias("precedence"),
             F.lit(round_no).alias("ord_r"),
-            # negative ordinals: unique, and sort before this round's content
-            (-F.row_number().over(_W.orderBy("host"))).cast("long").alias("ord_k"),
+            (-F.col("_hrank")).cast("long").alias("ord_k"),
             F.lit(0).alias("hops"),
             F.lit(None).cast("string").alias("via"),
             F.lit(0).alias("retries"),
@@ -382,6 +399,7 @@ def run_round(
     else:
         rules_df = robots.rules
         prereqs = None
+        prereq_zip_cached = ()
         frontier_eff = state.frontier
         admissible = state.frontier
 
@@ -829,7 +847,7 @@ def run_round(
     new_state = CrawlState(
         round_no, frontier_next, seen_new, host_fetched, bloom_next, robots_next
     )
-    prereq_cached = (prereqs,) if prereq_mode else ()
+    prereq_cached = ((prereqs,) if prereq_mode else ()) + prereq_zip_cached
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
         seen_extra=prereqs.select("url_hash", "canon") if prereq_mode else None,
