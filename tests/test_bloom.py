@@ -104,11 +104,98 @@ def test_bloom_checkpoint_roundtrip(spark, tmp_path):
     store = CheckpointStore(ckpt)
     resumed = store.resume(spark)
     assert resumed.bloom is not None
-    # resumed filter answers True for every committed seen fingerprint
+    # the ACTIVE (auto-derived) sizing must survive resume with the bits —
+    # probing with mismatched params would hash into the wrong shards
+    assert resumed.bloom_params is not None
     probed = bloom_probe(
-        resumed.seen.select("url_hash"), resumed.bloom, cfg.bloom_params()
+        resumed.seen.select("url_hash"), resumed.bloom, resumed.bloom_params
     )
     assert probed.filter(~F.col("_maybe_seen")).count() == 0
     # resuming and extending the crawl keeps working
     more = run_crawl(spark, pages, corpus.seeds, scorer, 3, cfg, checkpoint_dir=ckpt)
     assert more.state.round_no == 3
+
+
+def test_for_keys_sizing():
+    """Auto-sizing: >=10 bits/key with 4x headroom, per-task (shard) memory
+    bounded at 8 MiB — shard COUNT scales with keys, never shard size."""
+    small = BloomParams.for_keys(1_000_000)
+    assert small.total_bits >= 10 * 4 * 1_000_000
+    assert small.n_shards >= 32 and small.shard_bytes == 1 << 20
+    assert small.capacity >= 3 * 1_000_000  # ~4x headroom before 50% density
+    huge = BloomParams.for_keys(10_000_000_000)
+    assert huge.total_bits >= 10 * 4 * 10_000_000_000
+    assert huge.shard_bytes <= 1 << 23  # one cogroup task = one 8 MiB shard
+    assert huge.n_shards * huge.shard_bytes * 8 == huge.total_bits
+    assert huge.capacity > 10_000_000_000
+    # monotone: more keys never yields a smaller filter
+    sizes = [BloomParams.for_keys(n).total_bits
+             for n in (10**5, 10**6, 10**7, 10**8, 10**9)]
+    assert sizes == sorted(sizes)
+
+
+def test_saturated_filter_rebuild_restores_fpr(spark, keys):
+    """A filter past its density capacity flags ~everything maybe-seen;
+    rebuilding at for_keys sizing from the same key set restores a bounded
+    FPR with zero false negatives (the driver's auto-rebuild semantics)."""
+    tiny = BloomParams(n_shards=2, shard_bytes=32, n_hashes=7)  # 512 bits
+    assert tiny.capacity < 5000
+    sat = bloom_add(spark, None, keys, tiny).cache()
+    others = spark.range(100000, 110000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    ).cache()
+    fp_sat = bloom_probe(others, sat, tiny).filter(F.col("_maybe_seen")).count()
+    assert fp_sat / 10000 > 0.5  # saturated: the pre-filter prunes ~nothing
+    grown = BloomParams.for_keys(5000, min_shards=8)
+    assert grown.capacity > 5000
+    rebuilt = bloom_add(spark, None, keys, grown).cache()
+    assert bloom_probe(keys, rebuilt, grown).filter(~F.col("_maybe_seen")).count() == 0
+    fp_new = bloom_probe(others, rebuilt, grown).filter(F.col("_maybe_seen")).count()
+    assert fp_new / 10000 < 0.05, fp_new
+
+
+def test_crawl_auto_rebuild_on_saturation(spark, tmp_path):
+    """Resuming a crawl whose committed filter is past capacity must rebuild
+    it at the auto-derived sizing (manifest params -> capacity check ->
+    for_keys rebuild from the committed seen set) and still produce the
+    exact bloomless crawl."""
+    from topicrawler_spark.crawl.checkpoint import CheckpointStore
+    from topicrawler_spark.crawl.config import CrawlConfig
+    from topicrawler_spark.crawl.driver import run_crawl
+    from topicrawler_spark.datagen import generate_corpus, pages_dataframe, topic_corpus
+    from topicrawler_spark.lm.local import LocalLM
+    from topicrawler_spark.lm.perplexity import DocumentScorer
+
+    corpus = generate_corpus(n_pages=120, n_hosts=8, n_seeds=3, seed=42)
+    pages = pages_dataframe(spark, corpus)
+    lm = LocalLM.from_texts([topic_corpus(42)], order=3)
+    scorer = DocumentScorer(lm, "kneser-ney")
+    base = dict(order=3, per_host_quota=3, max_hops=10, round_ms=1000)
+    # phase 1: statically-sized filter with a capacity a 2-round crawl blows
+    # through (2 shards x 8 bytes = 128 bits -> capacity ~12 keys)
+    tiny_cfg = CrawlConfig(**base, bloom_min_seen=0, bloom_auto_size=False,
+                           bloom_n_shards=2, bloom_shard_bytes=8)
+    ckpt = str(tmp_path / "ck")
+    run_crawl(spark, pages, corpus.seeds, scorer, 2, tiny_cfg, checkpoint_dir=ckpt)
+    committed = CheckpointStore(ckpt).resume(spark)
+    n_seen = committed.seen.count()
+    assert committed.bloom_params is not None
+    assert n_seen > committed.bloom_params.capacity  # saturated on disk
+    # phase 2: resume with auto-sizing on -> rebuild fires before the round
+    auto_cfg = CrawlConfig(**base, bloom_min_seen=0, bloom_auto_size=True,
+                           bloom_n_shards=2, bloom_shard_bytes=8)
+    more = run_crawl(spark, pages, corpus.seeds, scorer, 3, auto_cfg,
+                     checkpoint_dir=ckpt)
+    grown = more.state.bloom_params
+    assert grown is not None and grown.capacity > more.state.seen.count()
+    assert grown.total_bits >= 10 * n_seen
+    # parity: the whole 3-round crawl equals the bloomless crawl
+    plain = run_crawl(spark, pages, corpus.seeds, scorer, 3,
+                      CrawlConfig(**base, bloom_min_seen=None))
+    key = lambda x: (x["canon"], x["directive"], x["precedence"], x["ord_r"], x["ord_k"])
+    assert sorted(map(key, plain.state.frontier.collect())) == sorted(
+        map(key, more.state.frontier.collect())
+    )
+    assert {r["url_hash"] for r in plain.state.seen.collect()} == {
+        r["url_hash"] for r in more.state.seen.collect()
+    }

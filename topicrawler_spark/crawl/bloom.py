@@ -49,6 +49,43 @@ class BloomParams:
     shard_bytes: int = 1 << 20  # 8.4M bits/shard; 32 shards ~ 268M bits total
     n_hashes: int = 7  # ~1% fpr at ~10 bits/key
 
+    @property
+    def total_bits(self) -> int:
+        return self.n_shards * self.shard_bytes * 8
+
+    @property
+    def capacity(self) -> int:
+        """Keys at which fill density reaches ~50% (n = m·ln2/k) — the
+        optimal load for k hashes. Beyond it the false-positive rate
+        degrades past 0.5^k, and with exact-confirm the pre-filter stops
+        pruning anything (a cogroup pass per round for zero benefit), so
+        the driver rebuilds a larger filter from the seen set."""
+        return int(self.total_bits * 0.6931 / self.n_hashes)
+
+    @classmethod
+    def for_keys(
+        cls,
+        n_keys: int,
+        bits_per_key: int = 10,
+        headroom: int = 4,
+        n_hashes: int = 7,
+        min_shards: int = 32,
+        max_shard_bytes: int = 1 << 23,
+    ) -> "BloomParams":
+        """Size the sharded filter for ~n_keys current keys with headroom×
+        growth: total bits ≥ bits_per_key·n_keys·headroom (so a filter sized
+        at activation absorbs ~4× seen-set growth before a rebuild). Per-task
+        memory stays bounded: shard size caps at ``max_shard_bytes`` (8 MiB)
+        and the shard COUNT scales with the keys — 10^10 seen URLs is ~6k
+        8-MiB shards, each an independent cogroup task, never one big array.
+        """
+        total_bytes = max(n_keys * bits_per_key * headroom // 8, min_shards << 20)
+        shard_bytes = 1 << 20
+        while shard_bytes < max_shard_bytes and total_bytes // shard_bytes > 4096:
+            shard_bytes <<= 1
+        n_shards = max(min_shards, -(-total_bytes // shard_bytes))
+        return cls(int(n_shards), int(shard_bytes), int(n_hashes))
+
 
 def shard_of(hash_col: Column, n_shards: int) -> Column:
     return F.pmod(hash_col, F.lit(n_shards)).cast("int")

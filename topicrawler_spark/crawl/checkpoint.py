@@ -76,6 +76,12 @@ class CheckpointStore:
             # per round (OR-merged bits don't decompose into appends)
             state.bloom.write.mode("overwrite").parquet(self._dir(r, "bloom"))
             manifest["tables"].append("bloom")
+            if state.bloom_params is not None:
+                # the ACTIVE sizing must survive resume: probing a
+                # 6k-shard filter with the 32-shard static params would
+                # hash into the wrong shards and lose every bit
+                p = state.bloom_params
+                manifest["bloom_params"] = [p.n_shards, p.shard_bytes, p.n_hashes]
         if state.robots is not None:
             # prereq-mode discovered robots rules (append-only by host, but
             # small enough that a per-round rewrite is the simpler commit)
@@ -133,6 +139,14 @@ class CheckpointStore:
             if os.path.isdir(self._dir(r, "bloom"))
             else None
         )
+        bloom_params = None
+        if bloom is not None:
+            with open(self._manifest(r)) as f:
+                bp = json.load(f).get("bloom_params")
+            if bp is not None:
+                from topicrawler_spark.crawl.bloom import BloomParams
+
+                bloom_params = BloomParams(*bp)
         robots = (
             spark.read.schema(HOST_RULES_SCHEMA).parquet(self._dir(r, "robots"))
             if os.path.isdir(self._dir(r, "robots"))
@@ -145,6 +159,7 @@ class CheckpointStore:
             spark.read.schema(HOST_SCHEMA).parquet(self._dir(r, "host_fetched")),
             bloom,
             robots,
+            bloom_params,
         )
 
     def read(self, spark: SparkSession, round_no: int, table: str) -> DataFrame:

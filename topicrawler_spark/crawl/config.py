@@ -85,6 +85,12 @@ class CrawlConfig:
     bloom_shard_bytes: int = 1 << 20
     bloom_hashes: int = 7
     bloom_exact_confirm: bool = True
+    # derive shard count/size from the seen-count hint at activation
+    # (>=10 bits/key with 4x growth headroom) and rebuild from the seen set
+    # when the key count passes the filter's ~50%-density capacity — a
+    # statically-sized filter saturates at 10^9+ URLs and prunes nothing.
+    # False pins the static n_shards/shard_bytes above (tests, parity runs).
+    bloom_auto_size: bool = True
     # above this robots-host count the driver stops collecting the per-host
     # delay dict (and the per-round host_fetched totals): quota/budget
     # arithmetic runs fully distributed as joins on host instead. At

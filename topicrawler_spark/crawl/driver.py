@@ -129,25 +129,51 @@ def run_crawl(
                 "spark.sql.shuffle.partitions", str(cores) if small else shuffle_orig
             )
             # Bloom regime: once the seen set passes the threshold (or its
-            # size is unknown post-resume, i.e. assumed at-scale), build the
+            # size is unknown post-resume, i.e. possibly at-scale), build the
             # sharded filter from the committed seen set; thereafter
-            # run_round maintains it incrementally. Once built it stays —
-            # the filter is correct at any size.
-            if (
-                cfg.bloom_min_seen is not None
-                and state.bloom is None
-                and (frontier_hint is None or frontier_hint >= cfg.bloom_min_seen)
+            # run_round maintains it incrementally. With auto-sizing the
+            # shard count/size derive from the seen-count hint (>=10
+            # bits/key with 4x headroom), and when the seen set outgrows the
+            # filter's ~50%-density capacity it is rebuilt larger — a
+            # saturated filter flags everything maybe-seen and prunes
+            # nothing while still paying its cogroup probe every round.
+            if cfg.bloom_min_seen is not None and (
+                frontier_hint is None or frontier_hint >= cfg.bloom_min_seen
             ):
                 from dataclasses import replace as _dc_replace
 
-                from topicrawler_spark.crawl.bloom import bloom_add
+                from topicrawler_spark.crawl.bloom import BloomParams, bloom_add
 
-                state = _dc_replace(
-                    state,
-                    bloom=bloom_add(
-                        spark, None, state.seen.select("url_hash"), cfg.bloom_params()
-                    ).localCheckpoint(eager=False),
+                if frontier_hint is None:
+                    # post-resume: one count over the committed (parquet-
+                    # backed) seen set — needed for sizing anyway, and it
+                    # restores hint-driven regime switching a round early
+                    frontier_hint = state.seen.count()
+                active = state.bloom_params or (
+                    cfg.bloom_params() if state.bloom is not None else None
                 )
+                build = None
+                if state.bloom is None and frontier_hint >= cfg.bloom_min_seen:
+                    build = (
+                        BloomParams.for_keys(frontier_hint, n_hashes=cfg.bloom_hashes)
+                        if cfg.bloom_auto_size
+                        else cfg.bloom_params()
+                    )
+                elif (
+                    state.bloom is not None
+                    and cfg.bloom_auto_size
+                    and active is not None
+                    and frontier_hint > active.capacity
+                ):
+                    build = BloomParams.for_keys(frontier_hint, n_hashes=cfg.bloom_hashes)
+                if build is not None:
+                    state = _dc_replace(
+                        state,
+                        bloom=bloom_add(
+                            spark, None, state.seen.select("url_hash"), build
+                        ).localCheckpoint(eager=False),
+                        bloom_params=build,
+                    )
             timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
             t0 = time.time()
             state, result = run_round(
@@ -245,7 +271,8 @@ def run_crawl(
                     else None
                 )
                 state = CrawlState(
-                    state.round_no, frontier, seen, host_fetched, bloom, robots_state
+                    state.round_no, frontier, seen, host_fetched, bloom,
+                    robots_state, state.bloom_params,
                 )
                 empty_frontier = result.metrics.get("urls_discovered") == 0 and frontier.isEmpty()
                 for df in result.cached[:-1]:  # keep new_unique: the seen set references it

@@ -63,6 +63,10 @@ class CrawlState:
     # prerequisite-scheduling mode, where rules are crawl state rather than
     # a crawl-static table. None = nothing known yet.
     robots: DataFrame | None = None
+    # the ACTIVE Bloom sizing (auto-sized from the seen-count hint at
+    # activation/rebuild, checkpointed in the manifest). None with a live
+    # bloom means a legacy filter built from cfg's static params.
+    bloom_params: object | None = None
 
 
 @dataclass
@@ -273,7 +277,10 @@ def inject_urls(
     if bloom is not None:
         from topicrawler_spark.crawl.bloom import bloom_add
 
-        bloom = bloom_add(spark, bloom, seen_additions.select("url_hash"), cfg.bloom_params())
+        bloom = bloom_add(
+            spark, bloom, seen_additions.select("url_hash"),
+            state.bloom_params or cfg.bloom_params(),
+        )
     new_state = CrawlState(
         state.round_no + (1 if store is not None else 0),
         state.frontier.unionByName(rows.select(*_FRONTIER_COLS)),
@@ -281,6 +288,7 @@ def inject_urls(
         state.host_fetched,
         bloom,
         state.robots,
+        state.bloom_params,
     )
     if store is not None:
         store.commit_round(new_state, None, seen_delta=seen_additions)
@@ -708,7 +716,7 @@ def run_round(
         # exact_confirm the result is exactly the plain anti-join's.
         from topicrawler_spark.crawl.bloom import bloom_probe
 
-        probed = bloom_probe(cands, state.bloom, cfg.bloom_params())
+        probed = bloom_probe(cands, state.bloom, state.bloom_params or cfg.bloom_params())
         fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
         if cfg.bloom_exact_confirm:
             suspect = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
@@ -840,12 +848,14 @@ def run_round(
         from topicrawler_spark.crawl.bloom import bloom_add
 
         bloom_next = bloom_add(
-            spark, state.bloom, new_unique.select("url_hash"), cfg.bloom_params()
+            spark, state.bloom, new_unique.select("url_hash"),
+            state.bloom_params or cfg.bloom_params(),
         )
     else:
         bloom_next = None
     new_state = CrawlState(
-        round_no, frontier_next, seen_new, host_fetched, bloom_next, robots_next
+        round_no, frontier_next, seen_new, host_fetched, bloom_next, robots_next,
+        state.bloom_params,
     )
     prereq_cached = ((prereqs,) if prereq_mode else ()) + prereq_zip_cached
     return new_state, RoundResult(
