@@ -100,6 +100,28 @@ _DUCK_TOKS = (
 )
 
 
+# Shared prefix for the writer-shape oracles: synthetic doc:// urls, the
+# MLE bigram doc-perplexity (finite by construction — every document bigram
+# is in the corpus count table), 6-decimal-rounded log terms and a 4-decimal
+# perp, matching _doc_mle_perp sign-for-sign.
+_WRITER_PERP_CTES = (
+    "WITH wtoks AS (SELECT doc_id, 'doc://' || doc_id AS url, text, "
+    + _DUCK_TOKS
+    + """ AS tok FROM documents),
+g1 AS (SELECT tok[i] AS w FROM wtoks, UNNEST(generate_series(1, len(tok))) AS t(i)),
+uc AS (SELECT w, count(*) AS c1 FROM g1 GROUP BY 1),
+g2 AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram FROM wtoks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+bc AS (SELECT ngram, count(*) AS c12 FROM g2 GROUP BY 1),
+db AS (SELECT doc_id, tok[i] AS w, tok[i] || ' ' || tok[i+1] AS ngram
+       FROM wtoks, UNNEST(generate_series(1, len(tok)-1)) AS t(i)),
+sc AS (SELECT doc_id, round(log10(c12) - log10(c1), 6) AS lp
+       FROM db JOIN bc USING (ngram) JOIN uc USING (w)),
+pp AS (SELECT doc_id, round(pow(10.0, -(sum(lp)/count(*))), 4) AS perp
+       FROM sc GROUP BY doc_id
+       HAVING round(pow(10.0, -(sum(lp)/count(*))), 4) < 1000000)"""
+)
+
+
 def _kn2_core(cand_sql: str) -> str:
     """The order-2 KN CTE cascade over a token CTE named ``srctoks`` (column
     ``tok``): count tables, the count-of-counts histogram with the 4-step
@@ -590,6 +612,108 @@ def q_doc_perplexity_kn2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_mle_perp(spark: SparkSession, sf_dir: str):
+    """Per-document MLE bigram perplexity over the corpus's own counts
+    (every document bigram is in-vocabulary by construction, so the MLE
+    probabilities are finite), rounded to 4 decimals.  Shared derivation
+    for the writer-shape entries — the perp column the reference's writers
+    serialize (SentenceWriter.java:219-231, DecesiveValueLogger.java:108-125).
+    Returns (documents_df, (doc_id, perp) df); one-token documents carry no
+    bigram and drop out, mirroring the min-2-words sentence gate."""
+    from topicrawler_spark.lm.counting import count_ngrams, ngram_windows
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(_norm_text(F.col("text")), " ")
+    sent = docs.select("doc_id", toks.alias("tokens"))
+    counts = count_ngrams(sent.select("tokens"), order=2)
+    uni = counts.filter(F.col("n") == 1).select(
+        F.col("ngram").alias("w1"), F.col("cnt").alias("c1")
+    )
+    bic = counts.filter(F.col("n") == 2).select("ngram", F.col("cnt").alias("c12"))
+    bi = sent.select(
+        "doc_id", F.explode(ngram_windows(F.col("tokens"), 2)).alias("g")
+    ).select("doc_id", F.array_join("g", " ").alias("ngram"))
+    scored = (
+        bi.join(bic, "ngram")
+        .withColumn("w1", F.split("ngram", " ")[0])
+        .join(uni, "w1")
+        .select("doc_id", F.round(F.log10("c12") - F.log10("c1"), 6).alias("lp"))
+    )
+    perp = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.pow(F.lit(10.0), -(F.sum("lp") / F.count(F.lit(1)))), 4
+            ).alias("perp")
+        )
+        # keep the %g oracle on its fixed-notation branch (perp is >=1 by
+        # construction; the cap only guards a pathological corpus)
+        .filter(F.col("perp") < 1e6)
+    )
+    return docs, perp
+
+
+def q_sentence_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sentence-writer record shape (SentenceWriter.java:219-231):
+    per-sentence rows with the reference's 12-char zero-padded ``%012g``
+    perplexity serialization as the hash target.  Runs the real writer path
+    (SentenceMaker pandas UDF + posexplode); the DuckDB oracle re-derives
+    the records and emulates Java ``%g`` (6 significant digits, trailing
+    zeros KEPT — unlike C ``printf``) in SQL."""
+    from topicrawler_spark.crawl.writers import sentence_records
+
+    docs, perp = _doc_mle_perp(spark, sf_dir)
+    res = docs.join(perp, "doc_id").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text", "perp"
+    )
+    rec = sentence_records(res)
+    return rec.select(
+        "url",
+        "seq_no",
+        "sentence",
+        F.format_string("%012g", F.col("perp")).alias("perp_g"),
+    )
+
+
+def q_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity decision log (DecesiveValueLogger.java:108-125):
+    ``%012g`` perp, priority directive/precedence, url, and the 50-char
+    ``plain-abbrv`` column (commons-lang abbreviate + ASCII-ws collapse),
+    all oracle-checked against an independent SQL twin."""
+    from topicrawler_spark.crawl.priority import apply_priority
+    from topicrawler_spark.crawl.writers import decision_log
+
+    docs, perp = _doc_mle_perp(spark, sf_dir)
+    d, c = apply_priority(F.col("perp"))
+    res = docs.join(perp, "doc_id").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        "text",
+        "perp",
+        d.alias("directive"),
+        c.alias("precedence"),
+    )
+    return decision_log(res).select(
+        F.col("perp").alias("perp_g"), "directive", "precedence", "url", "abbr_text"
+    )
+
+
+def q_score_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentPerp analogue (lm/apps.py score_sentences): per-sentence KN
+    perplexity records via the broadcast scorer — rows-only (the scorer is
+    the pandas-UDF crawl path; the oracle-checked twins are
+    ``doc_perplexity_kn2`` and the join scorers)."""
+    from topicrawler_spark.lm.apps import score_sentences
+    from topicrawler_spark.lm.counting import build_local_lm
+    from topicrawler_spark.lm.perplexity import DocumentScorer
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    lm = build_local_lm(spark, docs.limit(200), order=3)
+    bc = spark.sparkContext.broadcast(DocumentScorer(lm, "kneser-ney"))
+    return score_sentences(docs, bc).select(
+        "doc_id", "seq_no", "sentence", F.round("perp", 4).alias("perp")
+    )
+
+
 def q_oov_reflm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PerplexityClient --oovreflm as a corpus-scale join: corpus bigrams
     kept iff their LAST word is in a second reference LM's vocabulary
@@ -962,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_trigram_logprob": q_kn_trigram_logprob,
         "stupid_backoff_trigram": q_stupid_backoff_trigram,
         "doc_perplexity_kn2": q_doc_perplexity_kn2,
+        "sentence_records_fmt": q_sentence_records,
+        "decision_log_fmt": q_decision_log,
         "oov_reflm_split": q_oov_reflm_split,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -987,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round": q_crawl_round,
         "image_features": q_image_features,
         "audio_energy": q_audio_energy,
+        "score_sentences": q_score_sentences,
     }
 
 
@@ -1190,6 +1317,45 @@ db AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS ngram FROM srctoks, UNNEST(ge
 k2 AS (SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS l FROM k)
 SELECT doc_id, count(*) AS n_ngrams, round(pow(10.0, -(sum(l)/count(*))), 4) AS perp_kn2
 FROM db JOIN k2 USING (ngram) GROUP BY doc_id""",
+        # writer shapes: MLE doc-perp + Java-%g emulation (6 significant
+        # digits, trailing zeros KEPT, zero-padded to width 12; DuckDB's
+        # printf is C-style %g and strips trailing zeros, so the oracle
+        # rebuilds the fixed-notation branch: e = floor(log10(perp)),
+        # corrected when rounding carries into the next decade, then
+        # format('{:.{}f}') at 5-e decimals)
+        "sentence_records_fmt": _WRITER_PERP_CTES
+        + """,
+rec AS (SELECT t.url, 0 AS seq_no, t.text AS sentence, pp.perp,
+               CAST(floor(log10(pp.perp)) AS INT) AS e0
+        FROM wtoks t JOIN pp USING (doc_id)),
+rec2 AS (SELECT *, CASE WHEN round(perp, 5 - e0) >= pow(10, e0 + 1) THEN e0 + 1 ELSE e0 END AS e FROM rec)
+SELECT url, seq_no, sentence,
+       lpad(format('{:.{}f}', round(perp, 5 - e), 5 - e), 12, '0') AS perp_g
+FROM rec2
+""",
+        "decision_log_fmt": _WRITER_PERP_CTES
+        + r""",
+base AS (SELECT t.url, t.text, pp.perp FROM wtoks t JOIN pp USING (doc_id)),
+pr AS (SELECT *, CASE WHEN perp <= 1.0 THEN -1
+                      WHEN perp <= 500.0 THEN 1
+                      WHEN perp <= 5000.0 THEN 2
+                      ELSE 3 END AS directive FROM base),
+pr2 AS (SELECT *,
+        CASE WHEN directive = 1 THEN 4
+             WHEN directive = 2 THEN 8
+             WHEN directive = -1 THEN 127
+             WHEN perp >= 50000.0 THEN 127
+             ELSE CAST(ceil((ln(1+perp) - ln(1+5000.0)) * (127.0-64.0)/(ln(1+50000.0)-ln(1+5000.0)) + 64.0) AS INT)
+        END AS precedence,
+        CAST(floor(log10(perp)) AS INT) AS e0 FROM pr),
+pr3 AS (SELECT *, CASE WHEN round(perp, 5 - e0) >= pow(10, e0 + 1) THEN e0 + 1 ELSE e0 END AS e FROM pr2)
+SELECT lpad(format('{:.{}f}', round(perp, 5 - e), 5 - e), 12, '0') AS perp_g,
+       directive, precedence, url,
+       regexp_replace(CASE WHEN length(text) <= 50 THEN text
+                           ELSE substr(text, 1, 47) || '...' END,
+                      '[ \t\n\x0b\f\r]+', ' ', 'g') AS abbr_text
+FROM pr3
+""",
         "oov_reflm_split": f"""
 WITH {toks_cte},
 grams AS (SELECT tok[i] || ' ' || tok[i+1] AS ngram
