@@ -57,7 +57,18 @@ def main() -> None:
     )
     lm = LocalLM.from_texts([topic_corpus(42, 800)], order=3)
     scorer = DocumentScorer(lm, "kneser-ney")
-    cfg = CrawlConfig(order=3, per_host_quota=int(os.environ.get("BENCH_QUOTA", "100")), max_hops=15)
+    # BENCH_BLOOM_MIN_SEEN=0 activates the sharded Bloom seen pre-filter from
+    # round 1 (exact-confirm, so results are identical to the plain
+    # anti-join) — the on/off pair at the same corpus is the pre-filter's
+    # bench evidence. Unset = config default (activates at 1M seen).
+    bloom_env = os.environ.get("BENCH_BLOOM_MIN_SEEN", "")
+    bloom_kw = {"bloom_min_seen": int(bloom_env)} if bloom_env else {}
+    cfg = CrawlConfig(
+        order=3,
+        per_host_quota=int(os.environ.get("BENCH_QUOTA", "100")),
+        max_hops=15,
+        **bloom_kw,
+    )
     from topicrawler_spark.crawl.round import prepare_pages
 
     pages = pages_dataframe(spark, corpus)
@@ -130,6 +141,7 @@ def main() -> None:
             "crawl_sec": round(crawl_sec, 2),
             "warmup_sec": round(warmup_sec, 2),
             "cpus": cpus,
+            **({"bloom_min_seen": int(bloom_env)} if bloom_env else {}),
         },
     }
     print(json.dumps(out))

@@ -709,6 +709,7 @@ def run_round(
     seen_side = (
         F.broadcast(state.seen) if bcast_seen else state.seen
     ).select(F.col("url_hash").alias("_seen_h"))
+    _bloom_fresh = _bloom_suspect = None
     if state.bloom is not None:
         # Bloom pre-filter: definitely-new candidates skip the exact
         # anti-join against the (10^10-row) seen table entirely; only the
@@ -718,8 +719,10 @@ def run_round(
 
         probed = bloom_probe(cands, state.bloom, state.bloom_params or cfg.bloom_params())
         fresh = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        _bloom_fresh, _bloom_suspect = fresh, None
         if cfg.bloom_exact_confirm:
             suspect = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+            _bloom_suspect = suspect
             confirmed = suspect.join(
                 seen_side, suspect["url_hash"] == F.col("_seen_h"), "left_anti"
             )
@@ -829,6 +832,13 @@ def run_round(
             "urls_new": new_unique.count(),
             **directive_counts,
         }
+        if _bloom_fresh is not None:
+            # pre-filter effectiveness: `fresh` candidates skipped the exact
+            # seen anti-join entirely; only `suspect` probed it (diagnostic
+            # path only — bench mode stays action-free)
+            metrics["bloom_fresh"] = _bloom_fresh.count()
+            if _bloom_suspect is not None:
+                metrics["bloom_suspect"] = _bloom_suspect.count()
         partition_metrics = (
             new_unique.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
