@@ -72,9 +72,14 @@ def main() -> None:
     from topicrawler_spark.crawl.round import prepare_pages
 
     pages = pages_dataframe(spark, corpus)
-    # one-time store preparation (canon-keyed, partitioned+sorted) — on a
-    # real deployment this is the already-bucketed warehouse pages table
-    pages = prepare_pages(pages).localCheckpoint(eager=True)
+    # one-time store preparation (partitioned+sorted) — on a real deployment
+    # this is the already-bucketed warehouse pages table. BENCH_STORE=host
+    # lays it out by host classKey so the fetch-join output is already
+    # host-clustered and the per-round html repartition disappears.
+    store_layout = os.environ.get("BENCH_STORE", "canon")
+    pages = prepare_pages(pages, by_host=store_layout == "host").localCheckpoint(
+        eager=True
+    )
 
     # Warm-up: a 1-round throwaway crawl spins up the Python worker pool and
     # JIT-compiles the codegen'd stages — on a cluster these are the
@@ -142,6 +147,7 @@ def main() -> None:
             "warmup_sec": round(warmup_sec, 2),
             "cpus": cpus,
             **({"bloom_min_seen": int(bloom_env)} if bloom_env else {}),
+            **({"store": store_layout} if store_layout != "canon" else {}),
         },
     }
     print(json.dumps(out))

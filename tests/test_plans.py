@@ -108,7 +108,7 @@ def test_seen_antijoin_shape(spark):
     assert "LeftAnti" in plan
 
 
-def _mini_round(spark, **cfg_kw):
+def _mini_round(spark, by_host=False, **cfg_kw):
     from topicrawler_spark.crawl.config import CrawlConfig
     from topicrawler_spark.crawl.round import (
         build_round_ops,
@@ -130,7 +130,7 @@ def _mini_round(spark, **cfg_kw):
     robots = build_robots_table(spark, pages, cfg)
     ops = build_round_ops(cfg, scorer_bc)
     state = init_state(spark, corpus.seeds, cfg)
-    pp = prepare_pages(pages).localCheckpoint(eager=True)
+    pp = prepare_pages(pages, by_host=by_host).localCheckpoint(eager=True)
     return run_round(
         spark, state, pp, scorer_bc, robots, cfg,
         collect_metrics=False, frontier_size_hint=0, ops=ops, host_fetched_map={},
@@ -173,6 +173,53 @@ def test_fetch_join_never_shuffles_page_store(spark):
             # left child subtree lines until the right child starts
             left = "\n".join(lines[i + 1 : i + 4])
             assert "Exchange" not in left.split("Sort")[0], left
+
+
+def test_host_layout_store_scores_without_repartition(spark):
+    """With the host-layout store (prepare_pages(by_host=True)) the fetch
+    join keys on (host, canon): the store side STILL never exchanges (its
+    host hash-partitioning satisfies the join's clustered distribution;
+    only the admitted side aligns), and the scoring stage consumes the join
+    output directly — the round plan must contain NO round-time repartition
+    (the canon layout's html memo-locality shuffle)."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _, result = _mini_round(
+            spark, by_host=True, fetch_broadcast_max=0, seen_broadcast_max=0
+        )
+        plan = _plan(result.results, "formatted")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin" in plan
+    assert "ArrowEvalPython" in plan  # the scoring stage still runs
+    # every exchange in the round plan is join/agg alignment
+    # (ENSURE_REQUIREMENTS); the explicit html repartition is gone
+    assert "REPARTITION_BY" not in plan
+    # and the store side feeds its SMJ with no exchange, as before
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SortMergeJoin Inner" in ln:
+            left = "\n".join(lines[i + 1 : i + 4])
+            assert "Exchange" not in left.split("Sort")[0], left
+
+
+def test_host_layout_round_parity(spark):
+    """Both store layouts must produce identical round results."""
+    _, r_canon = _mini_round(spark)
+    _, r_host = _mini_round(spark, by_host=True)
+    a = sorted(
+        (row["canon"], round(row["perp"], 6))
+        for row in r_canon.results.select("canon", "perp").collect()
+    )
+    b = sorted(
+        (row["canon"], round(row["perp"], 6))
+        for row in r_host.results.select("canon", "perp").collect()
+    )
+    assert a == b and len(a) > 0
 
 
 def test_scoring_stage_is_host_partitioned(spark):

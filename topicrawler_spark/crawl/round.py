@@ -144,7 +144,7 @@ class RoundResult:
     seen_extra: DataFrame | None = None
 
 
-def prepare_pages(pages: DataFrame) -> DataFrame:
+def prepare_pages(pages: DataFrame, by_host: bool = False) -> DataFrame:
     """One-time page-store preparation: key the content by *canonical* URL.
 
     The crawler fetches by canonical URL (candidates arrive in arbitrary
@@ -155,16 +155,33 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     Run ONCE per crawl (cache or persist the result); at warehouse scale this
     is the job that writes the url_hash-bucketed pages table the per-round
     fetch join is co-partitioned against.
+
+    ``by_host=True`` lays the store out by host classKey instead (partition
+    by ``_page_host``, sort by host then canon): the fetch join then keys on
+    (host, canon) and its output arrives already host-clustered, so the
+    per-round html repartition before scoring — the round's single biggest
+    shuffle payload — disappears in both join regimes (broadcast preserves
+    the streamed store's layout; SMJ co-partitions on host with only the
+    admitted side exchanging). The trade: store partition sizes follow host
+    sizes, so a pathologically large host concentrates its pages in one
+    partition, where the canon layout spreads them uniformly.
     """
     prepared = (
         pages.select(canonical_url(F.col("url")).alias("_page_canon"), "url", "html")
         .groupBy("_page_canon")
         .agg(F.min_by("html", "url").alias("html"))
     )
-    # hash-partition + sort by the join key NOW, so that (after the driver's
-    # localCheckpoint pins partitioning and ordering into the leaf) every
-    # round's sort-merge fetch join needs NO exchange and NO sort on the
-    # store side — the Iceberg-bucketed-table equivalent for local mode
+    # hash-partition + sort by the join key(s) NOW, so that (after the
+    # driver's localCheckpoint pins partitioning and ordering into the leaf)
+    # every round's sort-merge fetch join needs NO exchange and NO sort on
+    # the store side — the Iceberg-bucketed-table equivalent for local mode
+    if by_host:
+        prepared = prepared.withColumn(
+            "_page_host", host_classkey(F.col("_page_canon"))
+        )
+        return prepared.repartition(F.col("_page_host")).sortWithinPartitions(
+            "_page_host", "_page_canon"
+        )
     return prepared.repartition(F.col("_page_canon")).sortWithinPartitions("_page_canon")
 
 
@@ -531,19 +548,34 @@ def run_round(
     # the admitted set means the store is never shuffled; at warehouse scale
     # (admitted too big to broadcast) this becomes the url_hash-bucketed
     # co-partitioned join instead.
-    fetched = pages.join(
-        adm_b, pages["_page_canon"] == admitted["canon"], "inner"
-    ).drop("_page_canon")
-    # Memo locality: route all of a host's pages to the same task (and thus
-    # the same Python worker) before scoring — site chrome repeats per host,
-    # so the sentence/line memos only pay off if one worker sees the whole
-    # host. Skew-safe: the politeness quota already caps any host's rows per
-    # round, and 4 waves of tasks per core let stragglers (cold-memo or
-    # text-heavy hosts) amortize instead of pinning the stage on one task.
-    # On a cluster this is executor affinity for per-host state.
-    fetched = fetched.repartition(
-        4 * max(spark.sparkContext.defaultParallelism, 1), "host"
-    )
+    if "_page_host" in pages.columns:
+        # host-layout store: key the join on (host, canon). The store side
+        # is already hash-partitioned on _page_host, which satisfies the
+        # join's clustered distribution, so only the admitted side ever
+        # exchanges — and the output is host-clustered as-is, making the
+        # memo-locality repartition below a no-op we skip entirely. The
+        # round's biggest shuffle payload (fetched html) never moves.
+        fetched = pages.join(
+            adm_b,
+            (pages["_page_host"] == admitted["host"])
+            & (pages["_page_canon"] == admitted["canon"]),
+            "inner",
+        ).drop("_page_canon", "_page_host")
+    else:
+        fetched = pages.join(
+            adm_b, pages["_page_canon"] == admitted["canon"], "inner"
+        ).drop("_page_canon")
+        # Memo locality: route all of a host's pages to the same task (and
+        # thus the same Python worker) before scoring — site chrome repeats
+        # per host, so the sentence/line memos only pay off if one worker
+        # sees the whole host. Skew-safe: the politeness quota already caps
+        # any host's rows per round, and 4 waves of tasks per core let
+        # stragglers (cold-memo or text-heavy hosts) amortize instead of
+        # pinning the stage on one task. On a cluster this is executor
+        # affinity for per-host state.
+        fetched = fetched.repartition(
+            4 * max(spark.sparkContext.defaultParallelism, 1), "host"
+        )
     is_robots = F.col("canon").endswith("/robots.txt")
     got_page = F.col("html").isNotNull()
 
