@@ -680,16 +680,31 @@ def run_round(
     # scope rules fused into two transformations: one select introducing the
     # canonicalized URL, one combined predicate + host/hash projection — every
     # extra withColumn/filter re-runs the analyzer over the whole plan, which
-    # is serial driver time on the widest dataflow of the crawl
+    # is serial driver time on the widest dataflow of the crawl.
+    #
+    # _cgb is a codegen circuit-breaker: the canonicalization chain is ~45KB
+    # of expression tree, and fused into the Generate's whole-stage-codegen
+    # consume it emits a >64KB Java method that Janino CANNOT compile — Spark
+    # then burns ~0.5s of serial driver time per round compiling a doomed
+    # ~1.5MB source before falling back to interpreted execution for the
+    # WHOLE stage. reflect() is a CodegenFallback expression, so the project
+    # carrying it is excluded from whole-stage codegen: the chain runs via
+    # InterpretedUnsafeProjection (measured at parity with the fallback's
+    # interpreted execution) while the downstream host/hash/predicate stage
+    # now genuinely compiles, and no doomed compile happens at all. The
+    # marker must be consumed by the filter or column pruning would strip it
+    # (String.valueOf never returns null, so the predicate is vacuous).
+    cgb = F.expr("reflect('java.lang.String','valueOf', hops)")
     cands = (
-        cands.select("*", ops.canon_of_url.alias("canon"))
-        .filter(ops.cand_keep)
+        cands.select("*", ops.canon_of_url.alias("canon"), cgb.alias("_cgb"))
+        .filter(ops.cand_keep & F.col("_cgb").isNotNull())
         .select(
             "*",
             ops.host_of_canon.alias("host"),
             ops.hash_of_canon.alias("url_hash"),
         )
         .filter(F.col("host") != "")
+        .drop("_cgb")
     )
     if cfg.scope_hosts is not None:
         scope = spark.createDataFrame([(h,) for h in sorted(cfg.scope_hosts)], "host string")
