@@ -63,11 +63,17 @@ def main() -> None:
     # bench evidence. Unset = config default (activates at 1M seen).
     bloom_env = os.environ.get("BENCH_BLOOM_MIN_SEEN", "")
     bloom_kw = {"bloom_min_seen": int(bloom_env)} if bloom_env else {}
+    # BENCH_ORDINAL_MAX overrides ordinal_single_max (the frontier size up to
+    # which the deterministic ordinal uses one global window vs the two-phase
+    # distributed rank) for threshold-tuning experiments.
+    ord_env = os.environ.get("BENCH_ORDINAL_MAX", "")
+    ord_kw = {"ordinal_single_max": int(ord_env)} if ord_env else {}
     cfg = CrawlConfig(
         order=3,
         per_host_quota=int(os.environ.get("BENCH_QUOTA", "100")),
         max_hops=15,
         **bloom_kw,
+        **ord_kw,
     )
     from topicrawler_spark.crawl.round import prepare_pages
 
