@@ -153,16 +153,17 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column, shingle_k: int = 2) -> Column:
-    """64-bit SimHash of word shingles, as a column expression: per-bit
-    weighted vote via aggregate over the shingle array (JVM-side)."""
-    sh = shingles(text, shingle_k)
+def _simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from an array<long> of per-shingle hashes: per-bit
+    weighted vote via aggregate (JVM-side). Callers should materialize the
+    hash array as a real column first — referencing a hash *expression*
+    here would duplicate its subtree 64 times (once per bit) in the plan."""
     bits = [
         F.aggregate(
-            sh,
+            hashes,
             F.lit(0),
-            lambda acc, s: acc
-            + F.when(F.shiftrightunsigned(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
                 F.lit(-1)
             ),
         )
@@ -174,6 +175,16 @@ def simhash64(text: Column, shingle_k: int = 2) -> Column:
             F.shiftleft(F.when(b > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
         )
     return out
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash of word shingles, as a single column expression.
+
+    Convenience form; prefer the two-step used by ``simhash_pairs`` (hash
+    array materialized as a column, then the bit votes) — as one expression
+    the shingle+hash subtree is inlined per bit."""
+    sh = shingles(text, shingle_k)
+    return _simhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
 def simhash_pairs(
@@ -192,7 +203,21 @@ def simhash_pairs(
         n_blocks *= 2
     bits = 64 // n_blocks
     mask = (1 << bits) - 1
-    sigs = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col), shingle_k).alias("sim")).cache()
+    # two-step signature: hash every shingle ONCE into a materialized
+    # array<long> column, then run the 64 bit-vote aggregates over that
+    # attribute — a single-expression simhash would re-evaluate the
+    # shingle split + xxhash64 subtree per bit (64x the work and a plan
+    # tree the analyzer chews seconds on)
+    sigs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+            ).alias("_h"),
+        )
+        .select("doc_id", _simhash_from_hashes(F.col("_h")).alias("sim"))
+        .cache()
+    )
     blocked = sigs.select(
         "doc_id",
         "sim",
