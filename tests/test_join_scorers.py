@@ -265,3 +265,25 @@ def test_kn_join_parity(spark, built):
         want = lm.kneser_ney_log10(g.split(" "))
         assert math.isfinite(v), g
         assert v == pytest.approx(want, rel=1e-9), g
+
+
+def test_join_scorers_null_out_wrong_order_ngrams(spark, built):
+    """Rows whose ngram does not have exactly `order` tokens must score NULL
+    (not a plausible backoff score from empty join keys) in both general
+    join scorers — the loud-failure guard for malformed input."""
+    from topicrawler_spark.lm.counting import score_kn_join, score_stupid_backoff_join
+
+    _, counts, _ = built
+    mixed = spark.createDataFrame(
+        [("the cat",), ("cat",), ("the cat sat",), ("",)], "ngram string"
+    )
+    kn = {r["ngram"]: r["kn_log10"] for r in score_kn_join(mixed, counts, 2).collect()}
+    sb = {
+        r["ngram"]: r["sb_log10"]
+        for r in score_stupid_backoff_join(mixed, counts, 2).collect()
+    }
+    for got in (kn, sb):
+        assert got["the cat"] is not None
+        assert got["cat"] is None
+        assert got["the cat sat"] is None
+        assert got[""] is None

@@ -117,6 +117,14 @@ def run_crawl(
                 (last_enq is None or last_enq == 0) and state.frontier.isEmpty()
             ):
                 break
+            # Post-resume with bloom enabled: one count over the committed
+            # (parquet-backed) seen set — needed for bloom sizing anyway, and
+            # hoisted ABOVE the regime switch so the session conf
+            # (AQE/shuffle partitions) and run_round's regime agree on the
+            # first post-resume round instead of pairing at-scale conf with
+            # small-regime plans.
+            if frontier_hint is None and cfg.bloom_min_seen is not None:
+                frontier_hint = state.seen.count()
             # AQE pays one driver re-plan round trip per query stage — a win when
             # stages shuffle real data (runtime coalescing/skew handling), pure
             # latency when the whole round is sub-second stages. Follow the same
@@ -144,11 +152,6 @@ def run_crawl(
 
                 from topicrawler_spark.crawl.bloom import BloomParams, bloom_add
 
-                if frontier_hint is None:
-                    # post-resume: one count over the committed (parquet-
-                    # backed) seen set — needed for sizing anyway, and it
-                    # restores hint-driven regime switching a round early
-                    frontier_hint = state.seen.count()
                 active = state.bloom_params or (
                     cfg.bloom_params() if state.bloom is not None else None
                 )
@@ -183,6 +186,14 @@ def run_crawl(
             )
             t_plan = time.time() - t0
             all_metrics.append(result.metrics)
+            # prereq mode: the seen set also grows by the synthesized robots
+            # rows (cached in run_round), which urls_discovered never counts —
+            # fold them into the hint increment or the bloom saturation
+            # rebuild fires late on robots-heavy crawls. One count over a
+            # cached frame, off the bench path (seen_extra is None there).
+            seen_extra_rows = (
+                result.seen_extra.count() if result.seen_extra is not None else 0
+            )
             if store is not None:
                 # backfill the throughput counters BEFORE commit so the
                 # persisted manifest carries them (bench mode leaves
@@ -293,7 +304,7 @@ def run_crawl(
                 # switching; thereafter the hint accumulates per-round.
                 frontier_hint = state.seen.count()
             else:
-                frontier_hint += enq
+                frontier_hint += enq + seen_extra_rows
     finally:
         # the per-regime conf switches touch session-wide state; restore
         # them even when a round fails mid-crawl

@@ -44,8 +44,11 @@ def make_doc_perp_udf(
             if not t:
                 return float(2**31 - 1)
             ngrams = provider_ngrams(t, lm.order, scorer.language_code)
+            # score_ngram: the scorer's distinct-ngram memo — documents in a
+            # corpus share most n-grams, so each distinct one pays the
+            # smoothing chain once per worker process
             return sequence_perplexity(
-                lm, scorer.score, ngrams, skip_oov, ref_vocab, skip_oov_reflm
+                lm, scorer.score_ngram, ngrams, skip_oov, ref_vocab, skip_oov_reflm
             )
 
         return text.map(go)
@@ -108,7 +111,7 @@ def score_sentences(
             out = []
             for s in scorer.sentence_maker.sentences(t or ""):
                 ngrams = provider_ngrams(s, lm.order, scorer.language_code)
-                out.append({"sentence": s, "perp": sequence_perplexity(lm, scorer.score, ngrams, skip_oov)})
+                out.append({"sentence": s, "perp": sequence_perplexity(lm, scorer.score_ngram, ngrams, skip_oov)})
             return out
 
         return text.map(go)

@@ -345,8 +345,10 @@ def score_stupid_backoff_join(
     scores ud = discount/(U+1); a miss while backing off at a middle order
     returns the previous level's score times one discount; a miss at the top
     order returns the previous score undiscounted. Input rows must carry
-    ``order``-token ngrams. 2n-1 equi-joins against the count table, no
-    per-row Python. Adds ``sb_log10``."""
+    ``order``-token ngrams; rows with any other token count score NULL
+    (loud, instead of a plausible-but-wrong backoff score from empty join
+    keys). 2n-1 equi-joins against the count table, no per-row Python.
+    Adds ``sb_log10``."""
     if order < 2:
         raise ValueError("order must be >= 2")
     n = order
@@ -375,7 +377,9 @@ def score_stupid_backoff_join(
     result = nom / denom
     for cond, val in reversed(branches):
         result = F.when(cond, val).otherwise(result)
-    out = out.withColumn("sb_log10", F.log10(result))
+    out = out.withColumn(
+        "sb_log10", F.when(F.size(toks) == n, F.log10(result))
+    )
     return out.drop(*[f"_{tag}_cnt" for tag in keys])
 
 
@@ -400,7 +404,9 @@ def score_kn_join(
     first-match-wins CASE chain, so the whole scorer is one projection over
     2n-1 equi-joins against the ``build_kn_stats`` dimension — no per-row
     Python, no driver data besides the 12-number histogram. Input rows must
-    carry ``order``-token ngrams. Adds ``kn_log10``."""
+    carry ``order``-token ngrams; rows with any other token count score NULL
+    (loud, instead of a plausible-but-wrong score from empty join keys).
+    Adds ``kn_log10``."""
     if order < 2:
         raise ValueError("order must be >= 2")
     n = order
@@ -478,7 +484,9 @@ def score_kn_join(
     for cond, val in reversed(branches):
         result = F.when(cond, val).otherwise(result)
     prob = F.least(F.greatest(result, punk), F.lit(1.0))
-    out = out.withColumn("kn_log10", F.log10(prob))
+    out = out.withColumn(
+        "kn_log10", F.when(F.size(toks) == n, F.log10(prob))
+    )
     added = [f"_{tag}_{c}" for tag in keys for c in ("cnt", "nf_tot", "np_tot", "nfp_tot")]
     return out.drop(*added)
 

@@ -82,6 +82,7 @@ class DocumentScorer:
         min_sentence_words: int = 2,
         language_code: str = "default",
         sentence_cache_max: int = 200_000,
+        ngram_cache_max: int = 500_000,
         **scorer_kw,
     ) -> None:
         self.lm = lm
@@ -100,6 +101,13 @@ class DocumentScorer:
         # path). Not pickled — each executor worker builds its own.
         self._sentence_cache_max = sentence_cache_max
         self._sent_cache: dict[str, tuple[float, int]] = {}
+        # distinct-ngram score memo, one level below the sentence memo: web
+        # pages share most of their n-grams even when whole sentences differ,
+        # so each distinct ngram pays the smoothing-chain lookups once per
+        # worker process instead of once per occurrence. Same bounded
+        # clear-at-cap policy; exactly identical results (pure function).
+        self._ngram_cache_max = ngram_cache_max
+        self._ng_cache: dict[tuple, float] = {}
 
     @property
     def score(self) -> Log10Scorer:
@@ -113,7 +121,19 @@ class DocumentScorer:
         state = dict(self.__dict__)
         state["_score"] = None
         state["_sent_cache"] = {}
+        state["_ng_cache"] = {}
         return state
+
+    def score_ngram(self, ng: list[str]) -> float:
+        """Memoized ``score(ng)`` — the per-distinct-ngram fast path."""
+        key = tuple(ng)
+        v = self._ng_cache.get(key)
+        if v is None:
+            v = self.score(ng)
+            if len(self._ng_cache) >= self._ngram_cache_max:
+                self._ng_cache.clear()
+            self._ng_cache[key] = v
+        return v
 
     def _sentence_contribution(self, sentence: str) -> tuple[float, int]:
         """(sum log10 p, n) of one sentence, with the reference's gates:
@@ -126,7 +146,7 @@ class DocumentScorer:
         if len(ngrams) < 1 or len(ngrams[-1]) < self.order:
             hit = (0.0, 0)
         else:
-            score = self.score
+            score = self.score_ngram
             total = 0.0
             for ng in ngrams:
                 total += score(ng)

@@ -46,11 +46,20 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    # ad-hoc overrides for experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    # ad-hoc overrides for experiments: SPARK_GRAFT_CONF="k=v;k=v".
+    # ';' is the separator with no escaping — values containing a semicolon
+    # cannot be expressed here (use extra_conf for those).
     for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
         if "=" in kv:
             k, v = kv.split("=", 1)
             b = b.config(k.strip(), v.strip())
+        elif kv.strip():
+            import sys
+
+            print(
+                f"SPARK_GRAFT_CONF: ignoring malformed segment {kv!r} (no '=')",
+                file=sys.stderr,
+            )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
