@@ -342,6 +342,184 @@ FROM j
 """
 
 
+def _kn_doc_sql(order: int) -> str:
+    """Generate the order-n interpolated modified Kneser-Ney per-document
+    perplexity oracle for DuckDB — ``LocalLM.kneser_ney``
+    (lucenebased/KneserNeyLM.kn) ported branch-for-branch to a chained-CTE
+    cascade at arbitrary order, then aggregated per document exactly like
+    ModelPerplexity.java:76-84 / PerpDoc.java:196-276: pad each document
+    with <s>/</s>, count all 1..n-gram windows of the padded corpus
+    (boundary mode 0), score every full n-length document window, and
+    return perp = 10^(-Σ round(log10 p, 6) / N) rounded to 4 decimals.
+
+    The recursion's loop state (pkn, lp, nfh_prev, ch, sub_str) threads
+    through generated per-level CTE columns; its early returns become a
+    first-match-wins CASE chain — the same structure the engine's
+    ``score_kn_join`` builds as Spark Columns, re-derived here as portable
+    SQL so the DuckDB side stays an independent executable spec."""
+    n = order
+    p = []  # CTE list
+    p.append(
+        "srctoks AS (SELECT doc_id, ['<s>'] || " + _DUCK_TOKS
+        + " || ['</s>'] AS tok FROM documents)"
+    )
+    # 1..n-gram windows, reference boundary mode 0 (short docs yield one
+    # short ngram per order; they collapse onto the same ngram string key)
+    for i in range(1, n + 1):
+        p.append(
+            f"gw{i} AS (SELECT array_to_string(tok[j:j+{i - 1}], ' ') AS ngram"
+            f" FROM srctoks, UNNEST(generate_series(1, len(tok)-{i}+1)) AS t{i}(j)"
+            f" WHERE len(tok) > {i}"
+            f" UNION ALL SELECT array_to_string(tok, ' ') FROM srctoks WHERE len(tok) <= {i})"
+        )
+    allg = " UNION ALL ".join(f"SELECT ngram FROM gw{i}" for i in range(1, n + 1))
+    p.append(f"allg AS ({allg})")
+    p.append(
+        "cnts AS (SELECT ngram, count(*) AS cnt,"
+        " len(string_split(ngram, ' ')) AS n FROM allg GROUP BY 1)"
+    )
+    p.append(
+        "sc AS (SELECT CAST((SELECT count(*) FROM cnts WHERE n = 1) AS DOUBLE) AS u,"
+        " (SELECT CAST(sum(cnt) AS DOUBLE) FROM cnts WHERE n = 1) AS s1,"
+        " CAST((SELECT count(*) FROM cnts WHERE n = 2) AS DOUBLE) AS b)"
+    )
+    # count-of-counts histogram + the 4-step discount monotonicity fix-up
+    # (i = 5..2: zero-fix N[i], then bump N[i-1]) and D = N1/(N1+2*N2)
+    p.append("hist AS (SELECT n, least(cnt, 5) AS cls, count(*) AS num FROM cnts GROUP BY 1, 2)")
+    p.append(
+        """nn AS (
+  SELECT n,
+    coalesce(sum(num) FILTER (WHERE cls = 1), 0) AS n1,
+    coalesce(sum(num) FILTER (WHERE cls = 2), 0) AS n2,
+    coalesce(sum(num) FILTER (WHERE cls = 3), 0) AS n3,
+    coalesce(sum(num) FILTER (WHERE cls = 4), 0) AS n4,
+    coalesce(sum(num) FILTER (WHERE cls = 5), 0) AS n5
+  FROM hist GROUP BY n)"""
+    )
+    p.append("f5  AS (SELECT n, n1, n2, n3, n4, CASE WHEN n5 = 0 THEN 1 ELSE n5 END AS n5 FROM nn)")
+    p.append("f5b AS (SELECT n, n1, n2, n3, CASE WHEN 5*n5 >= 4*n4 THEN 5*n5 + 1 ELSE n4 END AS n4, n5 FROM f5)")
+    p.append("f4  AS (SELECT n, n1, n2, n3, CASE WHEN n4 = 0 THEN 1 ELSE n4 END AS n4, n5 FROM f5b)")
+    p.append("f4b AS (SELECT n, n1, n2, CASE WHEN 4*n4 >= 3*n3 THEN 4*n4 + 1 ELSE n3 END AS n3, n4, n5 FROM f4)")
+    p.append("f3  AS (SELECT n, n1, n2, CASE WHEN n3 = 0 THEN 1 ELSE n3 END AS n3, n4, n5 FROM f4b)")
+    p.append("f3b AS (SELECT n, n1, CASE WHEN 3*n3 >= 2*n2 THEN 3*n3 + 1 ELSE n2 END AS n2, n3 FROM f3)")
+    p.append("f2  AS (SELECT n, n1, CASE WHEN n2 = 0 THEN 1 ELSE n2 END AS n2 FROM f3b)")
+    p.append("f2b AS (SELECT n, CASE WHEN 2*n2 >= 1*n1 THEN 2*n2 + 1 ELSE n1 END AS n1, n2 FROM f2)")
+    dd = ", ".join(
+        f"(SELECT n1/(n1 + 2.0*n2) FROM f2b WHERE n = {i}) AS d{i}" for i in range(1, n + 1)
+    )
+    p.append(f"dd AS (SELECT {dd})")
+    # per-ngram continuation dimension (build_kn_stats twin): nf_tot = counted
+    # right-extensions, np_tot = left-extensions, nfp_tot = both-side
+    # extensions; absent/pruned keys answer NULL -> 0 at the candidate join
+    p.append("spc AS (SELECT ngram, cnt, n, string_split(ngram, ' ') AS sp FROM cnts)")
+    p.append("nft AS (SELECT array_to_string(sp[1:len(sp)-1], ' ') AS g, count(*) AS v FROM spc WHERE n > 1 GROUP BY 1)")
+    p.append("npt AS (SELECT array_to_string(sp[2:len(sp)], ' ') AS g, count(*) AS v FROM spc WHERE n > 1 GROUP BY 1)")
+    p.append("nfpt AS (SELECT array_to_string(sp[2:len(sp)-1], ' ') AS g, count(*) AS v FROM spc WHERE n > 2 GROUP BY 1)")
+    p.append(
+        "stats AS (SELECT c.ngram, c.cnt, nft.v AS nf_tot, npt.v AS np_tot, nfpt.v AS nfp_tot"
+        " FROM cnts c LEFT JOIN nft ON c.ngram = nft.g"
+        " LEFT JOIN npt ON c.ngram = npt.g LEFT JOIN nfpt ON c.ngram = nfpt.g)"
+    )
+    # document n-grams: full n-length windows only (documents shorter than
+    # the order drop out, mirroring the engine entry's size guard)
+    p.append(
+        f"db AS (SELECT doc_id, array_to_string(tok[j:j+{n - 1}], ' ') AS ngram"
+        f" FROM srctoks, UNNEST(generate_series(1, len(tok)-{n}+1)) AS td(j)"
+        f" WHERE len(tok) >= {n})"
+    )
+    p.append("cand AS (SELECT DISTINCT ngram FROM db)")
+    p.append("candk AS (SELECT ngram, string_split(ngram, ' ') AS sp FROM cand)")
+    # join keys: s_j = last j words, h_j = j words ending at position n-1
+    tags = [(f"s{j}", n - j + 1, n) for j in range(1, n + 1)]
+    tags += [(f"h{j}", n - j, n - 1) for j in range(1, n)]
+    sel, joins = [], []
+    for tag, lo, hi in tags:
+        for c in ("cnt", "nf_tot", "np_tot", "nfp_tot"):
+            sel.append(f"st_{tag}.{c} AS {tag}_{c}")
+        joins.append(
+            f"LEFT JOIN stats st_{tag} ON array_to_string(sp[{lo}:{hi}], ' ') = st_{tag}.ngram"
+        )
+    p.append(
+        "j AS (SELECT candk.ngram, " + ", ".join(sel) + " FROM candk " + " ".join(joins) + ")"
+    )
+    k0 = ["ngram", "u", "s1", "b"] + [f"d{i}" for i in range(1, n + 1)]
+    short = {"cnt": "c", "nf_tot": "nf", "np_tot": "np", "nfp_tot": "nfp"}
+    for tag, _, _ in tags:
+        for c, s in short.items():
+            k0.append(f"CAST(coalesce({tag}_{c}, 0) AS DOUBLE) AS {s}_{tag}")
+    p.append("k0 AS (SELECT " + ", ".join(k0) + " FROM j, sc, dd)")
+    # punk: nf_total of the second-to-last word over B times D1/U; ud when
+    # that word has no successors. pkn1: unigram continuation np_tot/B.
+    p.append(
+        "k0b AS (SELECT *,"
+        " CASE WHEN nf_h1 = 0 THEN (1.0/b)*(d1/u) ELSE (nf_h1/b)*(d1/u) END AS punk,"
+        " np_s1/b AS pkn1 FROM k0)"
+    )
+    branches: list[tuple[str, str]] = []
+    branches.append(("c_s1 = 0", "punk"))  # ends_with_oov
+    branches.append(("np_s1 = 0", "c_s1/s1"))  # zero-continuation early return
+    lp, nfhv_prev, ch_prev, csub_prev, pkn = "0.0", "0.0", "0.0", "0.0", "pkn1"
+    prev = "k0b"
+    for i in range(2, n):  # middle orders; hist = h{i-1}, sub = s{i}
+        a, bname = f"l{i}a", f"l{i}b"
+        p.append(
+            f"{a} AS (SELECT *,"
+            f" greatest(nf_h{i - 1}, np_h{i - 1}, nfp_h{i - 1}) AS nfph{i},"
+            f" CASE WHEN nf_h{i - 1} = 0 THEN 1.0 ELSE nf_h{i - 1} END AS nfhv{i},"
+            f" greatest(np_s{i} - d{i}, 0.0) AS nom{i},"
+            f" greatest({csub_prev} - d{i}, 0.0) AS nomfix{i}"
+            f" FROM {prev})"
+        )
+        p.append(
+            f"{bname} AS (SELECT *,"
+            f" (CASE WHEN nomfix{i} = 0 THEN 0.0 ELSE nomfix{i}/{ch_prev} END)"
+            f" + (d{i}/{ch_prev})*{nfhv_prev}*{lp} AS pknfix{i},"
+            f" (CASE WHEN nom{i} = 0 THEN 0.0 ELSE nom{i}/nfph{i} END)"
+            f" + (d{i}*nfhv{i}/nfph{i})*{pkn} AS pkn{i}"
+            f" FROM {a})"
+        )
+        fix_ok = f"({ch_prev} != 0 AND {lp} != 0 AND {nfhv_prev} != 0)"
+        # nfph==0 early return, fixed up through the PREVIOUS level when it
+        # completed normally; then the pruned-nom early return
+        branches.append((f"nfph{i} = 0", f"CASE WHEN {fix_ok} THEN pknfix{i} ELSE {pkn} END"))
+        branches.append((f"nom{i} = 0", f"pkn{i}"))
+        lp, pkn = pkn, f"pkn{i}"
+        nfhv_prev, ch_prev, csub_prev = f"nfhv{i}", f"c_h{i - 1}", f"c_s{i}"
+        prev = bname
+    # top order: hist = h{n-1}, sub = the full ngram (s{n})
+    p.append(
+        f"ktopa AS (SELECT *,"
+        f" greatest({csub_prev} - d{n}, 0.0) AS nomfb,"
+        f" CASE WHEN nf_h{n - 1} = 0 THEN 1.0 ELSE nf_h{n - 1} END AS nfhtop,"
+        f" greatest(c_s{n} - d{n}, 0.0) AS nomtop"
+        f" FROM {prev})"
+    )
+    p.append(
+        f"ktopb AS (SELECT *,"
+        f" (CASE WHEN nomfb = 0 THEN 0.0 ELSE nomfb/{ch_prev} END)"
+        f" + (d{n}/{ch_prev})*{nfhv_prev}*{lp} AS pknfb,"
+        f" (CASE WHEN nomtop = 0 THEN 0.0 ELSE nomtop/c_h{n - 1} END)"
+        f" + (d{n}*nfhtop/c_h{n - 1})*{pkn} AS pkntop"
+        f" FROM ktopa)"
+    )
+    fb_cond = f"({lp} != 0 AND {nfhv_prev} != 0 AND {ch_prev} != 0)"
+    branches.append(
+        (f"c_h{n - 1} = 0", f"CASE WHEN {fb_cond} THEN pknfb ELSE {pkn} END")
+    )
+    whens = " ".join(f"WHEN {c} THEN {v}" for c, v in branches)
+    p.append(f"kf AS (SELECT ngram, punk, CASE {whens} ELSE pkntop END AS pkn FROM ktopb)")
+    p.append(
+        "kk AS (SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS l FROM kf)"
+    )
+    return (
+        "WITH " + ",\n".join(p)
+        + f"""
+SELECT doc_id, count(*) AS n_ngrams, round(pow(10.0, -(sum(l)/count(*))), 4) AS perp_kn{n}
+FROM db JOIN kk USING (ngram) GROUP BY doc_id"""
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # query implementations
 # ---------------------------------------------------------------------------
@@ -610,6 +788,50 @@ def q_doc_perplexity_kn2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(10.0), -(F.sum(F.round("kn_log10", 6)) / F.count(F.lit(1)))), 4
         ).alias("perp_kn2"),
     )
+
+
+def _doc_perp_kn_order(spark: SparkSession, sf_dir: str, order: int) -> DataFrame:
+    """End-to-end order-n KN document perplexity, fully relational: pad each
+    document's tokens with <s>/</s>, count all 1..n-gram windows of the
+    padded corpus, score every full n-length document window with the
+    join-based order-n KN scorer, and aggregate perp = 10^(-Σlog10 p / N)
+    per document (ModelPerplexity.java:76-84, PerpDoc.java:196-276;
+    runeval.sh:54-60 evaluates at n=5 and n=3). Documents shorter than the
+    order drop out (size guard — the join scorer nulls sub-order rows)."""
+    from topicrawler_spark.lm.counting import count_ngrams, ngram_windows, score_kn_join
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(_norm_text(F.col("text")), " ")
+    padded = F.concat(F.array(F.lit("<s>")), toks, F.array(F.lit("</s>")))
+    sent = docs.select("doc_id", padded.alias("tokens"))
+    counts = count_ngrams(sent.select("tokens"), order=order).cache()
+    grams = (
+        sent.select("doc_id", F.explode(ngram_windows(F.col("tokens"), order)).alias("g"))
+        .filter(F.size("g") == order)
+        .select("doc_id", F.array_join("g", " ").alias("ngram"))
+    )
+    scored = score_kn_join(grams, counts, order)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.round(
+            F.pow(F.lit(10.0), -(F.sum(F.round("kn_log10", 6)) / F.count(F.lit(1)))), 4
+        ).alias(f"perp_kn{order}"),
+    )
+
+
+def q_doc_perplexity_kn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 KN document perplexity (the reference's secondary eval
+    order, runeval.sh) via the general join scorer."""
+    return _doc_perp_kn_order(spark, sf_dir, 3)
+
+
+def q_doc_perplexity_kn5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 KN document perplexity — the PRODUCTION decision variable at
+    the production order (StartLM -n 5 -m 1; runeval.sh:54-60) via the
+    general join scorer: the corpus-scale path a 100 TB crawl would score
+    with when the topic LM outgrows a driver broadcast."""
+    return _doc_perp_kn_order(spark, sf_dir, 5)
+
 
 
 def _doc_mle_perp(spark: SparkSession, sf_dir: str):
@@ -1086,6 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_trigram_logprob": q_kn_trigram_logprob,
         "stupid_backoff_trigram": q_stupid_backoff_trigram,
         "doc_perplexity_kn2": q_doc_perplexity_kn2,
+        "doc_perplexity_kn3": q_doc_perplexity_kn3,
+        "doc_perplexity_kn5": q_doc_perplexity_kn5,
         "sentence_records_fmt": q_sentence_records,
         "decision_log_fmt": q_decision_log,
         "oov_reflm_split": q_oov_reflm_split,
@@ -1317,6 +1541,10 @@ db AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS ngram FROM srctoks, UNNEST(ge
 k2 AS (SELECT ngram, round(log10(least(greatest(pkn, punk), 1.0)), 6) AS l FROM k)
 SELECT doc_id, count(*) AS n_ngrams, round(pow(10.0, -(sum(l)/count(*))), 4) AS perp_kn2
 FROM db JOIN k2 USING (ngram) GROUP BY doc_id""",
+        # generated order-n KN cascades (validated == the hand-written kn2
+        # oracle at n=2 and == LocalLM at n=3/5 on the same corpus)
+        "doc_perplexity_kn3": _kn_doc_sql(3),
+        "doc_perplexity_kn5": _kn_doc_sql(5),
         # writer shapes: MLE doc-perp + Java-%g emulation (6 significant
         # digits, trailing zeros KEPT, zero-padded to width 12; DuckDB's
         # printf is C-style %g and strips trailing zeros, so the oracle

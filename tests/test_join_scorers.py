@@ -287,3 +287,38 @@ def test_join_scorers_null_out_wrong_order_ngrams(spark, built):
         assert got["cat"] is None
         assert got["the cat sat"] is None
         assert got[""] is None
+
+
+@pytest.mark.parametrize("order", [3, 5])
+def test_doc_perplexity_kn_order_matches_local_lm(spark, order):
+    """The relational per-document KN perplexity entries at the reference's
+    eval orders (runeval.sh: n=5 production, n=3 secondary) must equal the
+    in-memory LocalLM scored perplexity on the same corpus."""
+    import os
+    import re
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        pytest.skip("testdata unavailable")
+    import pandas as pd
+
+    from __spark_entry__ import _doc_perp_kn_order
+
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r[f"perp_kn{order}"])
+        for r in _doc_perp_kn_order(spark, sf_dir, order).collect()
+    }
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    padded = {
+        int(row.doc_id): ["<s>"] + re.sub(r"\s+", " ", str(row.text).strip()).lower().split(" ") + ["</s>"]
+        for row in docs.itertuples()
+    }
+    lm = LocalLM.from_token_sequences(list(padded.values()), order=order)
+    assert set(got) == set(padded)
+    for doc_id, toks in padded.items():
+        ngrams = [toks[i : i + order] for i in range(len(toks) - order + 1)]
+        s = sum(round(lm.kneser_ney_log10(g), 6) for g in ngrams)
+        perp = round(10.0 ** (-(s / len(ngrams))), 4)
+        n, p = got[doc_id]
+        assert n == len(ngrams), doc_id
+        assert p == pytest.approx(perp, abs=2e-4), (doc_id, p, perp)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 from dataclasses import dataclass
 
@@ -111,12 +112,35 @@ def run_crawl(
     # After a round that discovered > 0 URLs the frontier is non-empty by
     # construction, so the per-round isEmpty job is skipped.
     last_enq: int | None = None
+    # Memory-mode state-commit pipelining: the frontier/seen checkpoint
+    # writes are pure rescans of the round's cached intermediates, so they
+    # materialize in a background thread that OVERLAPS the driver's
+    # next-round plan construction (0.5-1 s/round of py4j DataFrame
+    # building — serial by nature, it scales with rounds, not cores).
+    # Exactly one background job is ever in flight, and it is joined before
+    # any foreground action, so no two jobs race to compute a shared cache.
+    bg_thread: threading.Thread | None = None
+    bg_error: list[BaseException] = []
+    t_wait = 0.0
+
+    def _join_bg() -> None:
+        nonlocal bg_thread, t_wait
+        if bg_thread is not None:
+            t0 = time.time()
+            bg_thread.join()
+            t_wait = time.time() - t0
+            bg_thread = None
+            if bg_error:
+                raise bg_error.pop()
+
     try:
         for _ in range(state.round_no, rounds):
-            if empty_frontier or (
-                (last_enq is None or last_enq == 0) and state.frontier.isEmpty()
-            ):
-                break
+            if empty_frontier or (last_enq is None or last_enq == 0):
+                # rare path (fresh/resumed state or a zero-discovery round):
+                # the emptiness probe is an action — sync with the committer
+                _join_bg()
+                if empty_frontier or state.frontier.isEmpty():
+                    break
             # Post-resume with bloom enabled: one count over the committed
             # (parquet-backed) seen set — needed for bloom sizing anyway, and
             # hoisted ABOVE the regime switch so the session conf
@@ -178,6 +202,11 @@ def run_crawl(
                         bloom_params=build,
                     )
             timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+            if collect_metrics:
+                # metrics mode runs actions INSIDE run_round — sync with the
+                # background committer first (bench mode is action-free in
+                # run_round, so the overlap only exists there)
+                _join_bg()
             t0 = time.time()
             state, result = run_round(
                 spark, state, pages, scorer_bc, robots, cfg,
@@ -186,6 +215,9 @@ def run_crawl(
             )
             t_plan = time.time() - t0
             all_metrics.append(result.metrics)
+            # plan construction is done — sync with the previous round's
+            # background committer before this round's first action
+            _join_bg()
             # prereq mode: the seen set also grows by the synthesized robots
             # rows (cached in run_round), which urls_discovered never counts —
             # fold them into the hint increment or the bloom saturation
@@ -216,18 +248,16 @@ def run_crawl(
                 for df in result.cached:
                     df.unpersist()
             else:
-                # memory-only mode, minimal jobs per round:
-                #  - frontier: materialize + cut lineage (it mutates every round);
-                #    in the small-round regime this localCheckpoint is the ONE
-                #    Spark query the whole round compiles to (run_round itself is
-                #    action-free there)
-                #  - host_fetched: tiny — collect to the driver and recreate
-                #  - seen: pure append of the (already cached) new segment; the
-                #    union plan stays shallow, nothing re-materializes
-                t0 = time.time()
-                frontier = state.frontier.localCheckpoint(eager=True)
-                t_ck = time.time() - t0
-                t_cnt = 0.0
+                # memory-only mode: the round executes as TWO queries —
+                #  1. the fused per-host totals + discovery-counter collect.
+                #    This is the round's HEAVY job: it materializes the cached
+                #    admitted/scored/new_unique intermediates (fetch join,
+                #    Arrow scoring pass, expansion, dedup) that everything
+                #    else rescans.
+                #  2. the frontier + seen checkpoint writes — pure rescans of
+                #    those caches, run in a BACKGROUND thread overlapping the
+                #    next round's plan construction; joined before the next
+                #    foreground action.
                 t0 = time.time()
                 need_enq = result.metrics.get("urls_discovered", 0) is None
                 if distributed_budget:
@@ -239,10 +269,10 @@ def run_crawl(
                         result.metrics["urls_discovered"] = result.enqueued.count()
                 else:
                     # ONE job for the per-host totals AND the discovery
-                    # counter (both are cache rescans; fusing them saves a
-                    # job launch per round — fixed driver latency that does
-                    # not shrink with cores). The counter rides along as a
-                    # sentinel-keyed row ('~' never starts a host key).
+                    # counter (both rescan this round's caches; fusing them
+                    # saves a job launch per round — fixed driver latency that
+                    # does not shrink with cores). The counter rides along as
+                    # a sentinel-keyed row ('~' never starts a host key).
                     hf = state.host_fetched.select("host", "fetched")
                     if need_enq:
                         hf = hf.unionByName(
@@ -267,9 +297,12 @@ def run_crawl(
                     )
                 result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
                 prev_fetched_total = total_fetched
-                # lazy localCheckpoint flattens the growing union-chain plan of
-                # the seen set to a leaf (materializes inside the next round's
-                # query — no extra job here); same for the bloom's cogroup chain
+                t_exec = time.time() - t0
+                # lazy localCheckpoints: flatten the frontier's plan and the
+                # growing union chain of the seen set to leaves; the background
+                # committer materializes both (the bloom's cogroup chain stays
+                # lazy — it materializes inside the next round's probe).
+                frontier = state.frontier.localCheckpoint(eager=False)
                 seen = state.seen.localCheckpoint(eager=False)
                 bloom = (
                     state.bloom.localCheckpoint(eager=False)
@@ -281,17 +314,34 @@ def run_crawl(
                     if state.robots is not None
                     else None
                 )
+                caches = tuple(result.cached)
+
+                def _commit(fr=frontier, sn=seen, caches=caches) -> None:
+                    try:
+                        fr.count()  # materializes the lazy checkpoint
+                        sn.count()
+                        # once frontier+seen are checkpointed leaves nothing
+                        # references this round's caches — including
+                        # new_unique, which only the (now-written) seen
+                        # union consumed
+                        for df in caches:
+                            df.unpersist()
+                    except BaseException as e:  # pragma: no cover - rethrown at join
+                        bg_error.append(e)
+
+                bg_thread = threading.Thread(
+                    target=_commit, name="round-committer", daemon=True
+                )
+                bg_thread.start()
                 state = CrawlState(
                     state.round_no, frontier, seen, host_fetched, bloom,
                     robots_state, state.bloom_params,
                 )
-                empty_frontier = result.metrics.get("urls_discovered") == 0 and frontier.isEmpty()
-                for df in result.cached[:-1]:  # keep new_unique: the seen set references it
-                    df.unpersist()
+                empty_frontier = False
                 if timing:
                     print(
-                        f"[round {state.round_no}] plan={t_plan:.2f}s ckpt={t_ck:.2f}s "
-                        f"enqcnt={t_cnt:.2f}s hostfetch={time.time()-t0:.2f}s "
+                        f"[round {state.round_no}] plan={t_plan:.2f}s exec={t_exec:.2f}s "
+                        f"bgwait={t_wait:.2f}s "
                         f"enq={result.metrics.get('urls_discovered')} fetched={result.metrics.get('fetched')}",
                         file=sys.stderr,
                     )
@@ -306,6 +356,9 @@ def run_crawl(
             else:
                 frontier_hint += enq + seen_extra_rows
     finally:
+        # drain the in-flight background committer so the returned state is
+        # fully materialized (and its failure, if any, surfaces here)
+        _join_bg()
         # the per-regime conf switches touch session-wide state; restore
         # them even when a round fails mid-crawl
         spark.conf.set("spark.sql.adaptive.enabled", aqe_orig)
