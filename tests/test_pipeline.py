@@ -164,6 +164,51 @@ def test_langid(spark):
     assert got[3] == "und"
 
 
+def test_langid_wide_coverage(spark):
+    """The vectorized classifier covers 24 languages: 14 Latin-script by
+    trigram profile, 10 by dominant Unicode script (incl. the uk-vs-ru
+    letter split and kana-implies-Japanese over CJK ideographs)."""
+    from topicrawler_spark.pipeline.textstats import LANGID_LANGUAGES, make_langid_udf
+
+    assert len(LANGID_LANGUAGES) >= 15
+    fixtures = [
+        ("en", "the cat and the dog are playing in the garden of the house"),
+        ("de", "der Hund und die Katze spielen in dem sch\u00f6nen Garten und singen"),
+        ("fr", "le chat et le chien jouent dans le jardin de la maison"),
+        ("es", "el gato y el perro juegan en el jard\u00edn de la casa que es grande"),
+        ("pt", "o gato e o cachorro brincam no jardim da casa que \u00e9 uma grande"),
+        ("it", "il gatto e il cane giocano nella casa della nonna che \u00e8 grande"),
+        ("nl", "de kat en de hond spelen in de tuin van het huis een mooie dag"),
+        ("sv", "katten och hunden leker i tr\u00e4dg\u00e5rden och det \u00e4r en fin dag f\u00f6r att"),
+        ("da", "katten og hunden leger i haven og det er en fin dag for at lege med"),
+        ("fi", "kissa ja koira leikkiv\u00e4t puutarhassa ja on mukava p\u00e4iv\u00e4 koska aurinko"),
+        ("pl", "kot i pies bawi\u0105 si\u0119 w ogrodzie i jest \u0142adny dzie\u0144 \u017ce nie ma deszczu"),
+        ("ro", "pisica \u0219i c\u00e2inele se joac\u0103 \u00een gr\u0103dina casei \u0219i este o zi frumoas\u0103"),
+        ("tr", "kedi ve k\u00f6pek bah\u00e7ede oynuyor ve g\u00fczel bir g\u00fcn \u00e7\u00fcnk\u00fc g\u00fcne\u015f parl\u0131yor"),
+        ("id", "kucing dan anjing bermain di taman rumah yang besar dan hari yang indah"),
+        ("ru", "\u043a\u043e\u0448\u043a\u0430 \u0438 \u0441\u043e\u0431\u0430\u043a\u0430 \u0438\u0433\u0440\u0430\u044e\u0442 \u0432 \u0441\u0430\u0434\u0443 \u0434\u043e\u043c\u0430"),
+        ("uk", "\u043a\u0456\u0442 \u0456 \u0441\u043e\u0431\u0430\u043a\u0430 \u0433\u0440\u0430\u044e\u0442\u044c\u0441\u044f \u0432 \u0441\u0430\u0434\u0443 \u0431\u0443\u0434\u0438\u043d\u043a\u0443"),
+        ("el", "\u03b7 \u03b3\u03ac\u03c4\u03b1 \u03ba\u03b1\u03b9 \u03bf \u03c3\u03ba\u03cd\u03bb\u03bf\u03c2 \u03c0\u03b1\u03af\u03b6\u03bf\u03c5\u03bd \u03c3\u03c4\u03bf\u03bd \u03ba\u03ae\u03c0\u03bf"),
+        ("ar", "\u0627\u0644\u0642\u0637\u0629 \u0648\u0627\u0644\u0643\u0644\u0628 \u064a\u0644\u0639\u0628\u0627\u0646 \u0641\u064a \u062d\u062f\u064a\u0642\u0629 \u0627\u0644\u0645\u0646\u0632\u0644"),
+        ("he", "\u05d4\u05d7\u05ea\u05d5\u05dc \u05d5\u05d4\u05db\u05dc\u05d1 \u05de\u05e9\u05d7\u05e7\u05d9\u05dd \u05d1\u05d2\u05d9\u05e0\u05d4 \u05e9\u05dc \u05d4\u05d1\u05d9\u05ea"),
+        ("hi", "\u092c\u093f\u0932\u094d\u0932\u0940 \u0914\u0930 \u0915\u0941\u0924\u094d\u0924\u093e \u0918\u0930 \u0915\u0947 \u092c\u0917\u0940\u091a\u0947 \u092e\u0947\u0902"),
+        ("th", "\u0e41\u0e21\u0e27\u0e41\u0e25\u0e30\u0e2a\u0e38\u0e19\u0e31\u0e02\u0e01\u0e33\u0e25\u0e31\u0e07\u0e40\u0e25\u0e48\u0e19\u0e43\u0e19\u0e2a\u0e27\u0e19"),
+        ("ko", "\uace0\uc591\uc774\uc640 \uac1c\uac00 \uc9d1 \uc815\uc6d0\uc5d0\uc11c \ub180\uace0 \uc788\uc2b5\ub2c8\ub2e4"),
+        ("ja", "\u732b\u3068\u72ac\u306f\u5bb6\u306e\u5ead\u3067\u904a\u3093\u3067\u3044\u3066\u3001\u4eca\u65e5\u306f\u3044\u3044\u65e5\u3067\u3059"),
+        ("zh", "\u732b\u548c\u72d7\u5728\u623f\u5b50\u7684\u82b1\u56ed\u91cc\u73a9\u800d"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(fixtures)], "doc_id long, text string"
+    )
+    lid = make_langid_udf()
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", lid("text").alias("lang")).collect()
+    }
+    for i, (want, _) in enumerate(fixtures):
+        assert got[i] == want, (i, want, got[i])
+
+
 def test_fingerprints(spark):
     from topicrawler_spark.pipeline.textstats import document_fingerprint, winnowing_fingerprints
 

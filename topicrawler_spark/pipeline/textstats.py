@@ -95,43 +95,155 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 # --- language identification -----------------------------------------------------
 
 
-# tiny per-language character trigram profiles (top discriminative trigrams);
-# the classifier is cosine-over-counts — a standard n-gram LID heuristic.
+# Per-language character trigram profiles (top discriminative trigrams,
+# space-padded, lowercase) — the classic Cavnar-Trenkle-style n-gram LID
+# heuristic. 14 Latin-script languages are scored by profile-hit rate; 10
+# more are identified by dominant Unicode script (stage 1), for 24 total.
 _LANG_PROFILES: dict[str, list[str]] = {
     "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng ",
            " to", "to ", "ed ", " in", "ion", " is", "is ", "at ", "er ", "es "],
     "de": ["er ", " de", "der", "ie ", " di", "die", "sch", "ein", "che", "ich",
            "den", "in ", "te ", " un", "und", "nd ", " be", "ver", "gen", "ung"],
     "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "re ",
-           "les", " les".strip(), "que", " qu", "ue ", "ait", " et", "et ", "ne ", "eur"],
+           "les", "que", " qu", "ue ", "ait", " et", "et ", "ne ", "eur", " pa"],
     "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "es ", "ent",
-           " en", "en ", "ue ", "que", " qu", "ción", "ado", "los", " lo", "as "],
+           " en", "en ", "ue ", "que", " qu", "ado", "los", " lo", "as ", "nte"],
+    "pt": [" de", "de ", "os ", "ão ", " do", "do ", " da", "da ", "que", " qu",
+           "ue ", " em", "em ", "ção", "ent", " co", "ara", " pa", "res", "uma"],
+    "it": [" di", "di ", "to ", " la", "la ", "che", " ch", "he ", "no ", "ato",
+           "one", "zio", "ion", "ell", "del", " de", "are", "ta ", " co", "lla"],
+    "nl": ["en ", " de", "de ", "et ", " he", "het", "van", " va", "an ", "een",
+           " ee", "ijk", "aar", " ge", "oor", "der", " en", "ing", "nde", "ver"],
+    "sv": ["en ", "et ", "ar ", " oc", "och", "ch ", "för", " fö", "att", " at",
+           "tt ", "som", " so", "om ", "ill", "til", " ti", "ing", " är", "är "],
+    "da": ["er ", "en ", "et ", " de", "der", "de ", " og", "og ", " at", "at ",
+           " fo", "for", "til", " ti", "ing", "nde", "ede", "ger", " me", "med"],
+    "fi": ["en ", "in ", "an ", "on ", "ta ", " on", "ja ", " ja", "sta", "aan",
+           "een", "lla", "ssa", "ist", "tä ", "än ", "ksi", "nen", "itt", "ett"],
+    "pl": ["ie ", " po", " ni", "nie", "na ", " na", "ch ", "ego", " pr", "rze",
+           "ych", "owa", "ani", "go ", "że ", " że", "ej ", "ość", "ać ", " w "],
+    "ro": [" de", "de ", "ul ", " în", "în ", " co", "are", "ea ", "le ", "și ",
+           " și", "ste", " ca", "tre", "lor", "are", "int", "ntr", " cu", "cu "],
+    "tr": ["ler", "lar", "an ", "ın ", "bir", " bi", "ir ", "in ", "ar ", " da",
+           "da ", " de", "eri", "ile", " il", "nda", "ası", "ını", "yor", " ka"],
+    "id": ["an ", " me", "ng ", "ang", "yan", " ya", "ada", " ad", "kan", "ah ",
+           " di", "di ", "nya", "ber", " be", "ata", "eng", "men", "ter", " te"],
 }
 
+# stage-1 script ranges (inclusive): dominant non-Latin script -> language
+_SCRIPT_RANGES: list[tuple[int, int, str]] = [
+    (0x0370, 0x03FF, "el"),
+    (0x0400, 0x04FF, "ru"),
+    (0x0590, 0x05FF, "he"),
+    (0x0600, 0x06FF, "ar"),
+    (0x0900, 0x097F, "hi"),
+    (0x0E00, 0x0E7F, "th"),
+    (0x1100, 0x11FF, "ko"),
+    (0x3040, 0x30FF, "ja"),
+    (0x4E00, 0x9FFF, "zh"),
+    (0xAC00, 0xD7AF, "ko"),
+]
+# Ukrainian-specific Cyrillic letters distinguishing uk from ru
+_UK_CHARS = frozenset([0x0404, 0x0406, 0x0407, 0x0454, 0x0456, 0x0457, 0x0490, 0x0491])
 
-def make_langid_udf():
+LANGID_LANGUAGES: tuple[str, ...] = tuple(
+    sorted(set(_LANG_PROFILES) | {lang for _, _, lang in _SCRIPT_RANGES} | {"uk"})
+)
+
+
+def _tri_hashes(cp: "object") -> "object":
+    """Injective uint64 hash of codepoint trigrams (codepoints < 2^21)."""
+    import numpy as np
+
+    c = cp.astype(np.uint64)
+    return (c[:-2] << np.uint64(42)) ^ (c[1:-1] << np.uint64(21)) ^ c[2:]
+
+
+def make_langid_udf(max_chars: int = 2000):
+    """Vectorized language ID: per Arrow batch, ONE numpy pass hashes every
+    character trigram of the (lowercased, truncated) batch text, scores the
+    14 Latin-script profiles by sorted-array membership (np.isin +
+    per-document bincount), and short-circuits non-Latin scripts by Unicode
+    range (10 more languages incl. the uk-vs-ru letter split) — no per-row
+    Python in the hot loop."""
+    import numpy as np
+
     from pyspark.sql.types import StringType
 
-    profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
+    latin_langs = sorted(_LANG_PROFILES)
+    prof = {}
+    for lang in latin_langs:
+        cps = np.array(
+            [[ord(ch) for ch in g] for g in _LANG_PROFILES[lang]], dtype=np.uint64
+        )
+        prof[lang] = np.unique(
+            (cps[:, 0] << np.uint64(42)) ^ (cps[:, 1] << np.uint64(21)) ^ cps[:, 2]
+        )
+    bounds = np.array([lo for lo, _, _ in _SCRIPT_RANGES] + [0x110000], dtype=np.uint32)
+    highs = np.array([hi for _, hi, _ in _SCRIPT_RANGES], dtype=np.uint32)
+    script_lang = [lang for _, _, lang in _SCRIPT_RANGES]
+    uk_chars = np.array(sorted(_UK_CHARS), dtype=np.uint32)
 
     @F.pandas_udf(StringType())
     def langid(text: pd.Series) -> pd.Series:
-        def classify(t: str | None) -> str:
-            if not t:
-                return "und"
-            t = " " + t.lower()[:2000] + " "
-            grams = [t[i : i + 3] for i in range(len(t) - 2)]
-            if not grams:
-                return "und"
-            best, best_score = "und", 0.0
-            for lang, prof in profiles.items():
-                hits = sum(1 for g in grams if g in prof)
-                score = hits / len(grams)
-                if score > best_score:
-                    best, best_score = lang, score
-            return best if best_score > 0.02 else "und"
+        n_docs = len(text)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        # one flat codepoint array for the whole batch, NUL-separated
+        # (documents are padded with spaces like the profiles expect)
+        clean = [
+            " " + str(t).replace("\x00", " ")[:max_chars].lower() + " " if t else "  "
+            for t in text
+        ]
+        joined = "\x00".join(clean) + "\x00"
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        doc_of = np.cumsum(cp == 0) - (cp == 0)  # doc index per codepoint
+        out = np.full(n_docs, "und", dtype=object)
 
-        return text.map(classify)
+        # ---- stage 1: script detection --------------------------------
+        idx = np.searchsorted(bounds, cp, side="right") - 1
+        in_range = (idx >= 0) & (idx < len(highs))
+        in_range[in_range] &= cp[in_range] <= highs[idx[in_range]]
+        n_scripts = len(script_lang)
+        script_counts = np.bincount(
+            doc_of[in_range] * n_scripts + idx[in_range],
+            minlength=n_docs * n_scripts,
+        ).reshape(n_docs, n_scripts)
+        is_letter = (cp > 0x40) & (cp != 0x20)  # crude letter-ish mask
+        letters = np.bincount(doc_of[is_letter], minlength=n_docs).astype(np.float64)
+        top_script = script_counts.argmax(axis=1)
+        top_count = script_counts.max(axis=1)
+        scripted = top_count > 0.3 * np.maximum(letters, 1.0)
+        uk_hits = np.bincount(doc_of[np.isin(cp, uk_chars)], minlength=n_docs)
+        for d in np.flatnonzero(scripted):
+            lang = script_lang[top_script[d]]
+            if lang == "ru" and uk_hits[d] > 0:
+                lang = "uk"
+            # CJK ideographs with any kana present read as Japanese
+            if lang == "zh" and script_counts[d][script_lang.index("ja")] > 0:
+                lang = "ja"
+            out[d] = lang
+
+        # ---- stage 2: Latin trigram profiles --------------------------
+        if len(cp) >= 3:
+            h = _tri_hashes(cp)
+            tri_doc = doc_of[: len(h)]
+            valid = (cp[:-2] != 0) & (cp[1:-1] != 0) & (cp[2:] != 0)
+            h, tri_doc = h[valid], tri_doc[valid]
+            grams = np.bincount(tri_doc, minlength=n_docs).astype(np.float64)
+            grams = np.maximum(grams, 1.0)
+            scores = np.zeros((n_docs, len(latin_langs)))
+            for li, lang in enumerate(latin_langs):
+                member = np.isin(h, prof[lang], assume_unique=False)
+                scores[:, li] = (
+                    np.bincount(tri_doc[member], minlength=n_docs) / grams
+                )
+            best = scores.argmax(axis=1)
+            best_score = scores.max(axis=1)
+            lat = (~scripted) & (best_score > 0.02) & (letters > 0)
+            for d in np.flatnonzero(lat):
+                out[d] = latin_langs[best[d]]
+        return pd.Series(out)
 
     return langid
 
