@@ -15,6 +15,8 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf string type hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1206,19 +1208,38 @@ def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from topicrawler_spark.pipeline.multimodal import image_features
+    """Pixel statistics over REAL PNG blobs: deterministic per-document PNGs
+    are generated executor-side (stdlib encoder), then decoded by the
+    stdlib PNG kernel (zlib inflate + filter reconstruction) inside the
+    mapInPandas feature pass — strict mode, so a stub fallback would fail
+    loudly. Rows-only check: binary decode is not SQL-expressible."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType
+
+    from topicrawler_spark.pipeline.multimodal import encode_png, image_features
 
     docs = _load(spark, sf_dir, "documents")["documents"].limit(50)
+
+    @F.pandas_udf(BinaryType())
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        def go(d):
+            rng = np.random.default_rng(int(d))
+            return encode_png(rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8))
+
+        return doc_id.map(go)
+
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
-        F.lit("image/jpeg").alias("mime"),
-        F.lit(32).alias("width"),
-        F.lit(32).alias("height"),
+        make_png("doc_id").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    feats = image_features(media, feature_dim=8)
+    feats = image_features(media, feature_dim=8, strict=True)
     # project the array column to sortable scalars — the driver's row
     # canonicalizer cannot hash/sort python lists
     return feats.select(
@@ -1233,22 +1254,40 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed RMS energy over opaque audio blobs (stub decoder; real
-    Arrow/mapInPandas plumbing). Rows-only check: binary feature extraction
-    is not SQL-expressible."""
-    from topicrawler_spark.pipeline.multimodal import audio_features
+    """Windowed RMS energy over REAL 16-bit PCM WAV blobs: deterministic
+    per-document sine tones are written executor-side (stdlib encoder) and
+    decoded by the stdlib RIFF/PCM kernel inside the mapInPandas pass —
+    strict mode, so a stub fallback would fail loudly. Rows-only check:
+    binary feature extraction is not SQL-expressible."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType
+
+    from topicrawler_spark.pipeline.multimodal import audio_features, encode_wav
 
     docs = _load(spark, sf_dir, "documents")["documents"].limit(50)
+
+    @F.pandas_udf(BinaryType())
+    def make_wav(doc_id: pd.Series) -> pd.Series:
+        def go(d):
+            rate = 8000
+            freq = 100.0 + (int(d) % 40) * 10.0
+            t = np.arange(rate, dtype=np.float64) / rate  # 1 s tone
+            return encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+
+        return doc_id.map(go)
+
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("content"),
+        make_wav("doc_id").alias("content"),
         F.lit("audio/wav").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        (F.length(F.col("text")) * 2).cast("long").alias("duration_ms"),
+        F.lit(1000).cast("long").alias("duration_ms"),
     )
-    feats = audio_features(media, window_ms=500)
+    feats = audio_features(media, window_ms=500, strict=True)
     return feats.select(
         "media_id",
         "n_bytes",
@@ -1256,6 +1295,31 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("aggregate(energy, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6
         ).alias("energy_sum"),
+    )
+
+
+def q_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque video blobs (1:N mapInPandas explode).
+    The decoder is the marked STUB (no video codec in this container); row
+    counts, timestamps, ordering and the binary frame column are the real
+    plumbing. Frame bytes project to a hash for sortable output."""
+    from topicrawler_spark.pipeline.multimodal import sample_video_frames
+
+    docs = _load(spark, sf_dir, "documents")["documents"].limit(50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length(F.col("text")) * 10).cast("long").alias("duration_ms"),
+    )
+    frames = sample_video_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms",
+        F.length("frame").alias("frame_bytes"),
+        F.xxhash64("frame").alias("frame_hash"),
     )
 
 
@@ -1337,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round": q_crawl_round,
         "image_features": q_image_features,
         "audio_energy": q_audio_energy,
+        "sample_video_frames": q_sample_video_frames,
         "score_sentences": q_score_sentences,
     }
 

@@ -1,17 +1,23 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels themselves are STUBS in this environment (no image/audio
-libraries in the container): each kernel either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the bytes (test mode) — the Spark-side contract (schemas,
-batch shapes, partitioning, UDF signatures) is real and tested, so swapping
-in PIL/ffmpeg kernels on a real cluster touches only the marked functions.
+Decode kernels: PNG (zlib inflate + scanline filter reconstruction) and
+WAV PCM (RIFF parse via struct/numpy) are REAL, stdlib-only decoders —
+``image_features`` and ``audio_features`` compute actual pixel/PCM
+statistics for those formats. Formats that genuinely need external
+libraries (JPEG/WebP images, MP3/OGG audio, any video codec) remain
+STUBS: strict mode raises ``NotImplementedError``, test mode produces a
+deterministic fake derived from the bytes — the Spark-side contract
+(schemas, batch shapes, partitioning, UDF signatures) is identical either
+way, so swapping in PIL/ffmpeg kernels on a real cluster touches only the
+marked functions.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,17 +64,179 @@ def _content_hash(content: bytes) -> int:
     return int.from_bytes(hashlib.sha256(content).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
 
+
+
+# --- real stdlib codecs: PNG and WAV PCM ------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (3 = palette, expanded to RGB on decode)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit gray/RGB/RGBA, filter 0, one IDAT) — used
+    to build real image fixtures without an imaging library."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry a left dependency: walk the row
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                if f == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    cp = prev[i - ch] if i >= ch else 0
+                    p = a + b - cp
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cp)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cp)
+                    cur[i] = (cur[i] + pr) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Stdlib PNG decoder: chunk walk, zlib inflate, filter reconstruction.
+    Supports 8-bit depth, color types gray/RGB/palette/gray-alpha/RGBA,
+    non-interlaced (the overwhelmingly common web case). Raises ValueError
+    on anything else."""
+    if not content.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_MAGIC)
+    idat, plte = [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth} color={color} interlace={interlace})")
+    ch = _PNG_CHANNELS[color]
+    img = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal 16-bit mono PCM WAV writer — real audio fixtures from numpy."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Stdlib WAV PCM decoder: RIFF chunk walk, fmt parse, PCM to float32
+    mono in [-1, 1]. Supports PCM u8/i16/i32 and IEEE float32. Raises
+    ValueError on anything else (e.g. ADPCM, MP3-in-WAV)."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV (format={audio_format} bits={bits})")
+    if n_ch > 1:
+        x = x[: len(x) - (len(x) % n_ch)].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
 def _decode_image_stub(content: bytes, strict: bool) -> np.ndarray:
-    """STUB image decode. Real impl: PIL.Image.open(BytesIO(content)).
+    """STUB decode for image formats that need external libraries
+    (JPEG/WebP/GIF...). Real impl: PIL.Image.open(BytesIO(content)).
 
     Deterministic fake: a pseudo-image seeded from the content hash, so the
     downstream pipeline (resize, features) has stable inputs to test against.
     """
     if strict:
-        raise NotImplementedError("image decoding requires an imaging library (PIL)")
+        raise NotImplementedError(
+            "non-PNG image decoding (JPEG/WebP/GIF) requires an imaging library (PIL)"
+        )
     h = _content_hash(content) & 0x7FFFFFFF
     rng = np.random.default_rng(h)
     return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+
+def decode_image(content: bytes, strict: bool) -> np.ndarray:
+    """PNG decodes for real (stdlib kernel above); other formats fall to the
+    marked stub (strict mode raises)."""
+    if content.startswith(_PNG_MAGIC):
+        return decode_png(content)
+    return _decode_image_stub(content, strict)
 
 
 def _resize_stub(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
@@ -92,7 +260,7 @@ def image_features(
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                img = _decode_image_stub(b, strict)
+                img = decode_image(b, strict)
                 small = _resize_stub(img, (8, 8))
                 # feature stub: channel-mean blocks flattened to feature_dim
                 flat = small.astype(np.float32).mean(axis=2).flatten()
@@ -174,9 +342,11 @@ def audio_features(
 ) -> DataFrame:
     """audio binary -> per-window energy features, one Arrow pass.
 
-    STUB decoder (real impl: soundfile/librosa load -> PCM frames); the fake
-    treats the blob as 8-bit PCM so window counts scale with duration and the
-    feature math (windowed RMS over a sample array) is the real shape.
+    WAV PCM decodes for real (stdlib RIFF kernel): windows are sized from
+    the file's actual sample rate and the RMS is over the decoded [-1,1]
+    samples. Other formats (MP3/OGG) fall to the marked stub — strict mode
+    raises; test mode treats the blob as 8-bit PCM so window counts scale
+    with duration and the feature math has the real shape.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,9 +355,29 @@ def audio_features(
             for media_id, content, duration in zip(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
-                if strict:
-                    raise NotImplementedError("audio decoding requires soundfile/librosa")
                 b = bytes(content) if content is not None else b""
+                if b.startswith(b"RIFF"):
+                    x, rate = decode_wav(b)
+                    win = max(1, int(rate * window_ms / 1000))
+                    n_windows = max(1, -(-len(x) // win))
+                    chunks = [x[i * win : (i + 1) * win] for i in range(n_windows)]
+                    energy = [
+                        float(np.sqrt(np.mean(c.astype(np.float64) ** 2))) if len(c) else 0.0
+                        for c in chunks
+                    ]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "n_bytes": len(b),
+                            "n_windows": n_windows,
+                            "energy": energy,
+                        }
+                    )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decoding (MP3/OGG) requires soundfile/librosa"
+                    )
                 dur = int(duration) if duration is not None else 0
                 n_windows = max(1, dur // window_ms)
                 samples = np.frombuffer(b, dtype=np.uint8).astype(np.float32)
