@@ -187,6 +187,46 @@ def simhash64(text: Column, shingle_k: int = 2) -> Column:
     return _simhash_from_hashes(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(doc_id, sim): 64-bit SimHash via explode + ONE hash aggregate.
+
+    Each shingle hash row contributes (h>>i)&1 to 64 tiny SUMs (map-side
+    partial aggregation, whole-stage codegen); bit i of the signature is
+    set iff set-votes*2 > total (i.e. the +-1 vote sum is positive —
+    identical to the array-aggregate form, which Catalyst chews seconds of
+    analyzer/interpreter time on: 64 lambda traversals per row vs one
+    flat pass here)."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+        ).alias("_h"),
+    )
+    votes = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1))).alias(f"_s{i}")
+            for i in range(64)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"_s{i}") * 2 > F.col("_n"), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+                i,
+            )
+        )
+    return votes.select("doc_id", sim.alias("sim"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -203,21 +243,7 @@ def simhash_pairs(
         n_blocks *= 2
     bits = 64 // n_blocks
     mask = (1 << bits) - 1
-    # two-step signature: hash every shingle ONCE into a materialized
-    # array<long> column, then run the 64 bit-vote aggregates over that
-    # attribute — a single-expression simhash would re-evaluate the
-    # shingle split + xxhash64 subtree per bit (64x the work and a plan
-    # tree the analyzer chews seconds on)
-    sigs = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(
-                shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-            ).alias("_h"),
-        )
-        .select("doc_id", _simhash_from_hashes(F.col("_h")).alias("sim"))
-        .cache()
-    )
+    sigs = simhash_signatures(df, id_col, text_col, shingle_k).cache()
     blocked = sigs.select(
         "doc_id",
         "sim",
