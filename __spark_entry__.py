@@ -1207,6 +1207,31 @@ def q_crawl_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.frontier.select("canon", "host", "directive", "precedence", "hops")
 
 
+def q_crawl_round_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl round scored RELATIONALLY (cfg.score_mode='join'): the
+    page perplexity comes from the order-n KN join scorer over the
+    count-table DataFrame instead of a broadcast in-memory LM — the
+    corpus-scale decision path (parity with the broadcast round is
+    pytest-asserted in tests/test_join_crawl.py)."""
+    from topicrawler_spark.crawl.config import CrawlConfig
+    from topicrawler_spark.crawl.driver import run_crawl
+    from topicrawler_spark.datagen import generate_corpus, pages_dataframe, topic_corpus
+    from topicrawler_spark.lm.local import LocalLM
+    from topicrawler_spark.lm.perplexity import DocumentScorer
+
+    corpus = generate_corpus(n_pages=60, n_hosts=5, n_seeds=2, seed=42)
+    lm = LocalLM.from_texts([topic_corpus(42)], order=3)
+    scorer = DocumentScorer(lm, "kneser-ney")
+    cfg = CrawlConfig(order=3, per_host_quota=3, max_hops=10, score_mode="join")
+    lm_counts = spark.createDataFrame(
+        [(g, len(g.split(" ")), c) for g, c in lm.counts.items()],
+        "ngram string, n int, cnt long",
+    )
+    pages = pages_dataframe(spark, corpus)
+    run = run_crawl(spark, pages, corpus.seeds, scorer, 1, cfg, lm_counts=lm_counts)
+    return run.state.frontier.select("canon", "host", "directive", "precedence", "hops")
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel statistics over REAL PNG blobs: deterministic per-document PNGs
     are generated executor-side (stdlib encoder), then decoded by the
@@ -1399,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "doc_perplexity": q_doc_perplexity,
         "crawl_round": q_crawl_round,
+        "crawl_round_join": q_crawl_round_join,
         "image_features": q_image_features,
         "audio_energy": q_audio_energy,
         "sample_video_frames": q_sample_video_frames,

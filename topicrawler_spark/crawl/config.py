@@ -19,6 +19,11 @@ DEFAULT_REJECT_EXTENSIONS = (
 class CrawlConfig:
     order: int = 5
     lm_kind: str = "kneser-ney"
+    # "broadcast": score pages against a broadcast in-memory LM (default).
+    # "join": score relationally against a count-table DataFrame — the
+    # corpus-scale path once the topic LM outgrows a driver broadcast
+    # (run_crawl then requires lm_counts; KN only).
+    score_mode: str = "broadcast"
     boundaries: tuple[float, float, float] = (5e2, 5e3, float("inf"))
     maxvalue: float = 5e4
     max_precedence: int = 127

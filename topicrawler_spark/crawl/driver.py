@@ -41,8 +41,11 @@ def run_crawl(
     resume: bool = True,
     collect_metrics: bool = True,
     pages_prepared: bool = False,
+    lm_counts=None,
 ) -> CrawlRun:
     cfg = cfg or CrawlConfig()
+    if cfg.score_mode == "join" and lm_counts is None:
+        raise ValueError("score_mode='join' requires the lm_counts DataFrame")
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
 
     state: CrawlState | None = None
@@ -66,6 +69,14 @@ def run_crawl(
         )
     from topicrawler_spark.crawl.round import build_round_ops, prepare_pages
 
+    join_scorer = None
+    if cfg.score_mode == "join":
+        # one-time scoring-campaign setup: the count stats dimension (cached)
+        # + histogram constants + base perplexity — two tiny driver jobs
+        from topicrawler_spark.lm.perplexity import build_join_scorer
+
+        join_scorer = build_join_scorer(spark, lm_counts, cfg.order)
+
     # localCheckpoint: materialize AND flatten the logical plan to a leaf —
     # otherwise every round's analysis re-walks the canonicalization tree
     # inside prepare_pages (serial driver time per transformation).
@@ -74,7 +85,7 @@ def run_crawl(
     # pass pages_prepared=True.
     if not pages_prepared:
         pages = prepare_pages(pages).localCheckpoint(eager=True)
-    ops = build_round_ops(cfg, scorer_bc, robots)
+    ops = build_round_ops(cfg, scorer_bc, robots, join_scorer=join_scorer)
 
     all_metrics: list[dict] = []
     empty_frontier = False

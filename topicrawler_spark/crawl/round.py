@@ -34,7 +34,7 @@ from topicrawler_spark.crawl.robots import (
     make_robots_allow_udf,
 )
 from topicrawler_spark.functions.canonicalize import canonical_url, host_classkey, url_hash64
-from topicrawler_spark.functions.udfs import make_page_process_udf
+from topicrawler_spark.functions.udfs import make_page_ngrams_udf, make_page_process_udf
 
 FRONTIER_SCHEMA = (
     "url string, canon string, url_hash long, host string, directive int, "
@@ -90,9 +90,19 @@ class RoundOps:
     # small-regime robots gate bound to the per-crawl python broadcast;
     # None when the host count exceeds the collect threshold (join path)
     robots_udf: object | None = None
+    # corpus-scale relational scoring (cfg.score_mode == "join"): a
+    # JoinScorer built once per crawl; page_udf then emits gated ngrams
+    # instead of a perplexity and the round joins them against the count
+    # stats dimension
+    join_score: object | None = None
 
 
-def build_round_ops(cfg: CrawlConfig, scorer_bc, robots: RobotsTable | None = None) -> RoundOps:
+def build_round_ops(
+    cfg: CrawlConfig,
+    scorer_bc,
+    robots: RobotsTable | None = None,
+    join_scorer=None,
+) -> RoundOps:
     canon = F.col("canon")
     keep = (
         (F.col("hops") <= cfg.max_hops)
@@ -120,7 +130,17 @@ def build_round_ops(cfg: CrawlConfig, scorer_bc, robots: RobotsTable | None = No
         cand_keep=keep,
         directive=directive,
         precedence=cost,
-        page_udf=make_page_process_udf(scorer_bc, "ext"),
+        page_udf=(
+            make_page_process_udf(scorer_bc, "ext")
+            if join_scorer is None
+            else make_page_ngrams_udf(
+                scorer_bc.value.order,
+                scorer_bc.value.sentence_maker.min_length,
+                scorer_bc.value.language_code,
+                "ext",
+            )
+        ),
+        join_score=join_scorer,
         robots_udf=(
             make_robots_allow_udf(robots.rules_bc)
             if robots is not None and robots.rules_bc is not None and cfg.respect_robots
@@ -328,6 +348,11 @@ def run_round(
     host_fetched_map: dict[str, int] | None = None,
 ) -> tuple[CrawlState, RoundResult]:
     cfg = cfg or CrawlConfig()
+    if ops is None and cfg.score_mode == "join":
+        raise ValueError(
+            "score_mode='join' needs ops built with a JoinScorer — call "
+            "run_crawl (or build_round_ops(..., join_scorer=...)) instead"
+        )
     ops = ops or build_round_ops(cfg, scorer_bc)
     round_no = state.round_no + 1
     # Small-frontier regime (driver passes a size upper bound): skip the
@@ -593,10 +618,9 @@ def run_round(
     if prereq_mode:
         # carry fetched robots bodies past the html drop for the rules update
         score_cols["robots_html"] = F.when(is_robots & got_page, F.col("html"))
-    scored = (
-        fetched.withColumns(score_cols)
-        .drop("html")
-        .withColumns(
+    base_scored = fetched.withColumns(score_cols).drop("html")
+    if ops.join_score is None:
+        scored = base_scored.withColumns(
             {
                 "text": F.col("_pp.text"),
                 "outlinks": F.coalesce(
@@ -605,10 +629,52 @@ def run_round(
                 ),
                 "perp": F.col("_pp.perp"),
             }
+        ).drop("_pp")
+        scored.cache()
+        score_cached: tuple = (scored,)
+    else:
+        # relational scoring: the page UDF emitted gated ngrams; score each
+        # DISTINCT ngram once against the per-crawl stats dimension, re-join
+        # multiplicity, aggregate per page, and join the (page-count-bounded)
+        # perp table back onto the cached extraction output. The count table
+        # never broadcasts to Python and the html never crosses twice.
+        from topicrawler_spark.lm.perplexity import join_perp_column, score_pages_join
+
+        with_ng = base_scored.withColumns(
+            {
+                "text": F.col("_pp.text"),
+                "outlinks": F.coalesce(
+                    F.col("_pp.outlinks"),
+                    F.array().cast("array<struct<url:string,hop:string>>"),
+                ),
+                "ngrams": F.coalesce(
+                    F.col("_pp.ngrams"), F.array().cast("array<string>")
+                ),
+            }
+        ).drop("_pp")
+        with_ng.cache()
+        per = score_pages_join(
+            with_ng.filter(F.col("fetch_ok") & ~is_robots).select("canon", "ngrams"),
+            ops.join_score,
+        ).cache()
+        per_side = F.broadcast(per) if small_round else per
+        scored = (
+            with_ng.join(per_side, "canon", "left")
+            .withColumn(
+                "perp",
+                F.when(
+                    F.col("fetch_ok") & ~is_robots,
+                    join_perp_column(
+                        F.col("text"),
+                        F.col("_perp_s"),
+                        F.col("_perp_n"),
+                        ops.join_score.base,
+                    ),
+                ),
+            )
+            .drop("ngrams", "_perp_s", "_perp_n")
         )
-        .drop("_pp")
-    )
-    scored.cache()
+        score_cached = (with_ng, per)
 
     results = scored.filter(F.col("fetch_ok") & ~is_robots).select(
         F.lit(round_no).alias("round"), "url", "canon", "host", "perp", "text", "hops"
@@ -918,7 +984,7 @@ def run_round(
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
         seen_extra=prereqs.select("url_hash", "canon") if prereq_mode else None,
-        cached=(admitted, scored) + zip_cached + prereq_cached + (new_unique,),
+        cached=(admitted,) + score_cached + zip_cached + prereq_cached + (new_unique,),
         # the per-round discovery counter: the deduped candidate set, straight
         # off its cache — counting `enq` would re-run the robots UDF
         enqueued=new_unique,

@@ -116,6 +116,56 @@ def make_page_process_udf(scorer_broadcast, cleaner: str = "ext"):
     return page_process
 
 
+def make_page_ngrams_udf(
+    order: int,
+    min_sentence_words: int = 2,
+    language_code: str = "default",
+    cleaner: str = "ext",
+):
+    """html -> (text, outlinks, ngrams) in ONE Arrow pass — the join-scoring
+    twin of ``make_page_process_udf``: instead of scoring against a
+    broadcast LM, it emits the page's GATED n-grams (the crawler scorer's
+    sentence gates applied: a sentence contributes only if it produced >=1
+    n-gram and its last n-gram has full LM order —
+    DecesiveValueProducerPerplexity.computePerplexity) for relational
+    scoring against a corpus-scale count table. Ships no LM tables at all:
+    the executor side is pure segmentation."""
+    from topicrawler_spark.lm.ngrams import provider_ngrams
+    from topicrawler_spark.seg.sentences import SentenceMaker
+
+    clean = CLEANERS[cleaner]
+
+    _PAGE_NG_TYPE = StructType(
+        [
+            StructField("text", StringType()),
+            StructField("outlinks", _OUTLINK_TYPE),
+            StructField("ngrams", ArrayType(StringType())),
+        ]
+    )
+
+    @F.pandas_udf(_PAGE_NG_TYPE)
+    def page_ngrams(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+        sm = SentenceMaker(min_sentence_words, language_code)
+        texts, links, ngrams = [], [], []
+        for b, base in zip(html, base_url):
+            h = _decode(b)
+            t = java_trim(extract_text(h, clean))
+            texts.append(t)
+            links.append(
+                [{"url": u, "hop": hp} for u, hp in extract_outlinks(h, base or "")]
+            )
+            gs: list[str] = []
+            for sentence in sm.sentences(t):
+                ng = provider_ngrams(sentence, order, language_code)
+                if len(ng) < 1 or len(ng[-1]) < order:
+                    continue  # the reference's zero-contribution gate
+                gs.extend(" ".join(g) for g in ng)
+            ngrams.append(gs)
+        return pd.DataFrame({"text": texts, "outlinks": links, "ngrams": ngrams})
+
+    return page_ngrams
+
+
 def make_perplexity_udf(scorer_broadcast):
     """text -> perplexity via a broadcast ``DocumentScorer``.
 

@@ -407,13 +407,37 @@ def score_kn_join(
     carry ``order``-token ngrams; rows with any other token count score NULL
     (loud, instead of a plausible-but-wrong score from empty join keys).
     Adds ``kn_log10``."""
+    stats, consts = kn_join_setup(lm_counts, order, discount)
+    return score_kn_join_with_stats(ngrams_df, stats, order, consts, ngram_col)
+
+
+def kn_join_setup(
+    lm_counts: DataFrame, order: int, discount: float = -1.0
+) -> tuple[DataFrame, dict]:
+    """One-time scoring-campaign setup for the join-based KN scorer: the
+    per-ngram continuation dimension (persist/cache it — every scoring job
+    joins against it) and the 12-number histogram constants (one tiny
+    driver action). Split from ``score_kn_join`` so a crawl scores every
+    round against the SAME prebuilt dimension instead of re-running the
+    histogram job per round."""
     if order < 2:
         raise ValueError("order must be >= 2")
-    n = order
     stats = build_kn_stats(lm_counts)
     N, S = sum_ngrams_histogram(lm_counts)
-    D = kn_discounts_from_histogram(N, n, discount)
-    U, B, S1 = N[1][0], N[2][0], S[1]
+    D = kn_discounts_from_histogram(N, order, discount)
+    return stats, {"D": D, "U": N[1][0], "B": N[2][0], "S1": S[1]}
+
+
+def score_kn_join_with_stats(
+    ngrams_df: DataFrame,
+    stats: DataFrame,
+    order: int,
+    consts: dict,
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """``score_kn_join`` against a prebuilt ``kn_join_setup`` dimension."""
+    n = order
+    D, U, B, S1 = consts["D"], consts["U"], consts["B"], consts["S1"]
     ud = (1.0 / B) * (D[1] / U)
     toks = F.split(F.col(ngram_col), " ")
     keys = {f"s{j}": _suffix(toks, n, j) for j in range(1, n + 1)}

@@ -174,3 +174,81 @@ class DocumentScorer:
         if not math.isfinite(p) or p <= 1.0:
             return -1.0
         return p
+
+
+class JoinScorer:
+    """Corpus-scale crawl scoring: the page-perplexity decision variable
+    computed RELATIONALLY against a count-table DataFrame instead of a
+    broadcast in-memory LM — the path a 10^10-URL crawl takes once the
+    topic LM outgrows a driver broadcast (order-n KN join scorer over the
+    ``build_kn_stats`` dimension; lucenebased/KneserNeyLM at corpus scale).
+
+    Built once per crawl (``build_join_scorer``): the stats dimension is
+    cached/persisted, the histogram constants and the base perplexity (the
+    all-<unk> n-gram through the same accumulator, ModelPerplexity's
+    uninitialized-field fallback included) are two tiny setup jobs."""
+
+    def __init__(self, stats, consts: dict, order: int, base: float) -> None:
+        self.stats = stats
+        self.consts = consts
+        self.order = order
+        self.base = base
+
+
+def build_join_scorer(spark, lm_counts, order: int, discount: float = -1.0) -> JoinScorer:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from topicrawler_spark.lm.counting import kn_join_setup, score_kn_join_with_stats
+    from topicrawler_spark.lm.ngrams import UNKNOWN_WORD
+
+    stats, consts = kn_join_setup(lm_counts, order, discount)
+    stats = stats.cache()
+    unk = spark.createDataFrame([(" ".join([UNKNOWN_WORD] * order),)], "ngram string")
+    row = score_kn_join_with_stats(unk, stats, order, consts).collect()[0]
+    lp = row["kn_log10"]
+    base = math.pow(10.0, -lp) if lp is not None and math.isfinite(lp) else 0.0
+    return JoinScorer(stats, consts, order, base)
+
+
+def score_pages_join(pages, js: JoinScorer, id_col: str = "canon", ngrams_col: str = "ngrams"):
+    """(id, ngrams) -> (id, _perp_s, _perp_n): per-page Σlog10 p and N via
+    the join scorer, scoring each DISTINCT n-gram once per batch (web pages
+    share most n-grams — the relational twin of the broadcast scorer's
+    distinct-ngram memo) then re-joining multiplicity. Pages whose gated
+    n-gram list is empty simply have no row (callers left-join and apply
+    ``join_perp_column``)."""
+    from pyspark.sql import functions as F
+
+    from topicrawler_spark.lm.counting import score_kn_join_with_stats
+
+    expl = pages.select(F.col(id_col).alias("_pid"), F.explode(ngrams_col).alias("ngram"))
+    uniq = expl.select("ngram").distinct()
+    scored = score_kn_join_with_stats(uniq, js.stats, js.order, js.consts).select(
+        "ngram", "kn_log10"
+    )
+    return (
+        expl.join(scored, "ngram")
+        .groupBy("_pid")
+        .agg(
+            F.sum(F.col("kn_log10")).alias("_perp_s"),
+            F.count(F.lit(1)).alias("_perp_n"),
+        )
+        .select(F.col("_pid").alias(id_col), "_perp_s", "_perp_n")
+    )
+
+
+def join_perp_column(text_col, s_col, n_col, base: float):
+    """The crawler gate as a column expression — ``score_page_text``
+    branch-for-branch: empty extraction -> -1; zero gated n-grams or a
+    non-finite sum -> the base perplexity; then the non-finite / <=1
+    sentinel. Column twin of ``perplexity_of_sums`` + ``score_page_text``."""
+    from pyspark.sql import functions as F
+
+    bad_sum = s_col.isNull() | F.isnan(s_col) | (F.abs(s_col) == float("inf"))
+    raw = F.when(
+        n_col.isNull() | (n_col == 0) | bad_sum, F.lit(float(base))
+    ).otherwise(F.pow(F.lit(10.0), -(s_col / n_col)))
+    gated = F.when(
+        F.isnan(raw) | (F.abs(raw) == float("inf")) | (raw <= 1.0), F.lit(-1.0)
+    ).otherwise(raw)
+    return F.when(text_col.isNull() | (text_col == ""), F.lit(-1.0)).otherwise(gated)
