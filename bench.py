@@ -68,12 +68,17 @@ def main() -> None:
     # distributed rank) for threshold-tuning experiments.
     ord_env = os.environ.get("BENCH_ORDINAL_MAX", "")
     ord_kw = {"ordinal_single_max": int(ord_env)} if ord_env else {}
+    # BENCH_SCORE_WAVES overrides score_waves (scoring-stage task waves per
+    # core) for straggler-tail tuning experiments.
+    waves_env = os.environ.get("BENCH_SCORE_WAVES", "")
+    waves_kw = {"score_waves": int(waves_env)} if waves_env else {}
     cfg = CrawlConfig(
         order=3,
         per_host_quota=int(os.environ.get("BENCH_QUOTA", "100")),
         max_hops=15,
         **bloom_kw,
         **ord_kw,
+        **waves_kw,
     )
     from topicrawler_spark.crawl.round import prepare_pages
 

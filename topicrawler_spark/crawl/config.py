@@ -58,6 +58,14 @@ class CrawlConfig:
     # co-partitioned sort-merge against the canon-partitioned page store —
     # only the admitted side shuffles, the store is never re-sorted
     fetch_broadcast_max: int = 50_000
+    # task waves per core for the Arrow scoring stage (canon-layout store
+    # only — the host layout keeps the store's own partitioning). Hash
+    # partitioning on host balances page COUNTS but not html bytes, so the
+    # stage's tail task runs ~2x its median; more waves amortize that tail
+    # across the other slots at the cost of one extra Arrow/worker spin-up
+    # per task. 4 waves keeps the tail under ~10% of stage wall at 8-32
+    # slots without measurably raising total task time.
+    score_waves: int = 4
     # Prerequisite scheduling (PreconditionEnforcer, jar!heritrix-engine/
     # .../prefetch/PreconditionEnforcer.java:170-254): when True, robots
     # rules start UNKNOWN and are discovered during the crawl — content

@@ -271,6 +271,23 @@ def run_crawl(
                 #    foreground action.
                 t0 = time.time()
                 need_enq = result.metrics.get("urls_discovered", 0) is None
+                # Cache-fill serialization: the fused round job's DAG scans
+                # the cached Arrow-scored relation from SIBLING stages. The
+                # task scheduler launches the second sibling's tasks as the
+                # first one's final wave drains, and any partition it reaches
+                # before the twin finishes re-runs the entire Python scoring
+                # pass for that partition — the duplication lands on exactly
+                # the straggler (skewed-host) partitions and grows with the
+                # number of concurrent task slots (measured: +25-30% scoring
+                # core-seconds at local[8], +8% at local[2]; on a wide
+                # cluster every sibling task slot is a potential duplicate).
+                # One dedicated count() builds the cache (and the admitted
+                # cache beneath it) at full parallelism with no competing
+                # stage, then every fused-job stage scans built partitions.
+                # Metrics mode skips this: run_round's in-round counters
+                # already materialized the cache sequentially.
+                if not collect_metrics and result.score_cache is not None:
+                    result.score_cache.count()
                 if distributed_budget:
                     # never collect the (at-scale, host-cardinality) fetch
                     # totals: materialize and cut lineage executor-side

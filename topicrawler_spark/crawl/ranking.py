@@ -86,3 +86,48 @@ def zip_with_order(
         .drop("_pid", "_lrank", "_off")
     )
     return out, with_pid
+
+
+def murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (x86_32, one 4-byte
+    block, seed 42) — the hash behind ``HashPartitioning``. Re-derived from
+    the published MurmurHash3 algorithm so the driver can PREDICT which
+    partition a small integer key lands in (see ``partition_probe_ints``).
+    Parity with ``F.hash(int)`` is asserted in tests."""
+    mask = 0xFFFFFFFF
+    k = x & mask
+    k = (k * 0xCC9E2D51) & mask
+    k = ((k << 15) | (k >> 17)) & mask
+    k = (k * 0x1B873593) & mask
+    h = (seed & mask) ^ k
+    h = ((h << 13) | (h >> 19)) & mask
+    h = (h * 5 + 0xE6546B64) & mask
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & mask
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & mask
+    h ^= h >> 16
+    return h
+
+
+def partition_probe_ints(n: int) -> list[int]:
+    """For each target partition 0..n-1, the smallest non-negative int whose
+    ``HashPartitioning`` bucket (pmod(murmur3(v), n)) is that partition.
+
+    ``df.repartition(n, col)`` runs the key through murmur3 before the mod,
+    so residue-class keys (rank % n) would be scattered with collisions
+    (~n/e empty partitions, some doubled — exactly the imbalance being
+    fixed). Substituting probe ints makes the placement EXACT: partition i
+    receives precisely the rows whose desired bin is i. Cost: one n-element
+    int array literal in the plan."""
+    probes: list[int] = [-1] * n
+    found = 0
+    v = 0
+    while found < n:
+        r = murmur3_int32(v) % n
+        if probes[r] < 0:
+            probes[r] = v
+            found += 1
+        v += 1
+    return probes

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from topicrawler_spark.crawl.config import CrawlConfig
 from topicrawler_spark.crawl.priority import apply_priority
-from topicrawler_spark.crawl.ranking import per_host_top_k, zip_with_order
+from topicrawler_spark.crawl.ranking import (
+    partition_probe_ints,
+    per_host_top_k,
+    zip_with_order,
+)
 from topicrawler_spark.crawl.robots import (
     RobotsTable,
     build_robots_table,
@@ -162,6 +166,17 @@ class RoundResult:
     # must include them in the round's seen_delta segment or resume would
     # silently forget them
     seen_extra: DataFrame | None = None
+    # the cached frame whose materialization runs the round's Arrow scoring
+    # pass (`scored` / `with_ng`). In action-free (bench) mode the fused
+    # round job contains SIBLING stages that each scan this cache; submitted
+    # together they race the cache fill, and every task that reaches a
+    # partition before its twin finishes recomputes the whole Python pass
+    # for it (measured at local[8]: +25-30% duplicate scoring core-seconds
+    # per round, concentrated on exactly the straggler partitions — and the
+    # duplication grows with core count). The driver materializes this frame
+    # with one dedicated job BEFORE the fused collect so every downstream
+    # stage scans a fully built cache.
+    score_cache: DataFrame | None = None
 
 
 def prepare_pages(pages: DataFrame, by_host: bool = False) -> DataFrame:
@@ -185,6 +200,18 @@ def prepare_pages(pages: DataFrame, by_host: bool = False) -> DataFrame:
     admitted side exchanging). The trade: store partition sizes follow host
     sizes, so a pathologically large host concentrates its pages in one
     partition, where the canon layout spreads them uniformly.
+
+    The canon layout also stamps ``_page_wrank``: the host's dense rank by
+    total stored html bytes, descending. The per-round scoring repartition
+    bins hosts by ``rank % n_bins`` (round-robin over the size order)
+    instead of a blind host hash — blind hashing leaves the stage's tail
+    task at ~2x the median when several quota-maxed heavy hosts collide in
+    one partition, and the tail is pure wall-clock loss at high
+    parallelism. One rank column computed once at prep time buys every
+    round a byte-balanced Python stage. (The per-host weights relation is
+    one row per host; for stores past ~10^7 hosts swap the single-reducer
+    rank window for ``zip_with_order`` — same column contract, bounded
+    cache.)
     """
     prepared = (
         pages.select(canonical_url(F.col("url")).alias("_page_canon"), "url", "html")
@@ -202,6 +229,23 @@ def prepare_pages(pages: DataFrame, by_host: bool = False) -> DataFrame:
         return prepared.repartition(F.col("_page_host")).sortWithinPartitions(
             "_page_host", "_page_canon"
         )
+    weights = (
+        prepared.select(
+            host_classkey(F.col("_page_canon")).alias("_wh"),
+            F.length("html").alias("_wb"),
+        )
+        .groupBy("_wh")
+        .agg(F.sum("_wb").alias("_wb"))
+    )
+    from pyspark.sql import Window as _WRank
+
+    w_rank = _WRank.orderBy(F.desc("_wb"), F.col("_wh"))
+    ranked = weights.select(
+        "_wh", (F.row_number().over(w_rank) - 1).cast("int").alias("_page_wrank")
+    )
+    prepared = prepared.join(
+        ranked, host_classkey(F.col("_page_canon")) == F.col("_wh"), "left"
+    ).drop("_wh")
     return prepared.repartition(F.col("_page_canon")).sortWithinPartitions("_page_canon")
 
 
@@ -594,13 +638,34 @@ def run_round(
         # thus the same Python worker) before scoring — site chrome repeats
         # per host, so the sentence/line memos only pay off if one worker
         # sees the whole host. Skew-safe: the politeness quota already caps
-        # any host's rows per round, and 4 waves of tasks per core let
-        # stragglers (cold-memo or text-heavy hosts) amortize instead of
-        # pinning the stage on one task. On a cluster this is executor
-        # affinity for per-host state.
-        fetched = fetched.repartition(
-            4 * max(spark.sparkContext.defaultParallelism, 1), "host"
-        )
+        # any host's rows per round, and cfg.score_waves waves of tasks per
+        # core let stragglers (cold-memo or text-heavy hosts) amortize
+        # instead of pinning the stage on one task. On a cluster this is
+        # executor affinity for per-host state.
+        n_bins = cfg.score_waves * max(spark.sparkContext.defaultParallelism, 1)
+        if "_page_wrank" in fetched.columns:
+            # Byte-balanced bins: round-robin the store's host-size rank
+            # (prepare_pages' _page_wrank) across the bins, so each bin
+            # draws one host from every size stratum instead of a random
+            # hash draw — a blind host hash leaves the stage tail at ~2x
+            # median when quota-maxed hosts collide. repartition() runs its
+            # key through murmur3 before the mod, which would scatter the
+            # residues with collisions, so the residue is swapped for a
+            # probe int whose murmur bucket IS the target bin (exact
+            # placement, one n_bins-element array literal in the plan).
+            # Hosts stay whole either way — memo locality is unchanged.
+            probes = partition_probe_ints(n_bins)
+            probe_arr = F.array(*[F.lit(p) for p in probes])
+            bin_col = F.coalesce(
+                F.col("_page_wrank"),
+                F.pmod(F.xxhash64(F.col("host")), F.lit(n_bins)).cast("int"),
+            )
+            fetched = fetched.repartition(
+                n_bins,
+                F.element_at(probe_arr, (F.pmod(bin_col, F.lit(n_bins)) + 1).cast("int")),
+            ).drop("_page_wrank")
+        else:
+            fetched = fetched.repartition(n_bins, "host")
     is_robots = F.col("canon").endswith("/robots.txt")
     got_page = F.col("html").isNotNull()
 
@@ -988,4 +1053,5 @@ def run_round(
         # the per-round discovery counter: the deduped candidate set, straight
         # off its cache — counting `enq` would re-run the robots UDF
         enqueued=new_unique,
+        score_cache=score_cached[0],
     )
