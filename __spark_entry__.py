@@ -1004,6 +1004,36 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: the transitive-closure half
+    of near-dup dedup. Pair finders (minhash_lsh / embedding_pairs) emit
+    PAIRS; deduping needs the components those pairs imply, or A~B, B~C
+    still keeps both A and C. Edges here are the exact cosine graph at
+    threshold 0.35 (round-5 like the oracled ``embedding_pairs``, so both
+    engines agree on boundary pairs); components come from alternating
+    large-star/small-star (``connected_components``), each node mapped to
+    its component's minimum vec_id — the canonical representative a dedup
+    pass would keep. Isolated vectors map to themselves. At 100 TB the
+    edge generator is the LSH/ANN bucket join instead of the all-pairs
+    cross; the contraction is the same. DuckDB oracle: recursive CTE
+    propagating minimum reachable labels."""
+    from topicrawler_spark.pipeline.dedup import connected_components
+    from topicrawler_spark.pipeline.similarity import cosine_expr
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
+    edges = (
+        a.join(b, F.col("a") < F.col("b"))
+        .where(F.round(cosine_expr(F.col("va"), F.col("vb")), 5) >= 0.35)
+        .select("a", "b")
+    )
+    comp = connected_components(edges, "a", "b")
+    return emb.join(comp, emb["vec_id"] == comp["node"], "left").select(
+        "vec_id", F.coalesce(F.col("component"), F.col("vec_id")).alias("component")
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the first vector (exact baseline)."""
     from topicrawler_spark.pipeline.similarity import brute_force_topk
@@ -1409,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_pairs": q_embedding_pairs,
+        "neardup_components": q_neardup_components,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "region_revenue": q_region_revenue,
@@ -1736,6 +1767,24 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 5) > 0.2
+""",
+        # connected components of the cosine>=0.35 near-dup graph: the
+        # recursive CTE propagates every label smaller than the node it
+        # reaches; min per node = the component minimum (the same canonical
+        # representative the large-star/small-star contraction yields)
+        "neardup_components": """
+WITH RECURSIVE
+p AS (SELECT a.vec_id AS i, b.vec_id AS j
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding, b.embedding), 5) >= 0.35),
+ed AS (SELECT i, j FROM p UNION ALL SELECT j AS i, i AS j FROM p),
+reach(id, comp) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT ed.j, reach.comp FROM reach JOIN ed ON ed.i = reach.id
+    WHERE reach.comp < ed.j
+)
+SELECT id AS vec_id, min(comp) AS component FROM reach GROUP BY id
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -323,3 +323,84 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a pair graph — the transitive-
+    closure half of near-duplicate dedup. Pair finders (``minhash_lsh_pairs``,
+    ``ngram_jaccard_pairs``, embedding-cosine joins) emit EDGES; deduping a
+    corpus needs the components those edges imply, or A~B, B~C still keeps
+    both A and C.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", ACM SoCC 2014) — the
+    published at-scale formulation. Each operation is one hash shuffle keyed
+    on a node id; the edge set provably contracts to a star forest rooted at
+    each component's minimum id in O(log^2 n) rounds (O(log n) in practice),
+    and no step ever gathers a whole component into one task — unlike
+    driver-side union-find (not distributed) or naive label propagation
+    (O(graph diameter) rounds, fatal on chain-shaped near-dup clusters).
+    Every iteration ends in ``localCheckpoint`` to cut the exponentially
+    growing lineage, and convergence is declared when the edge-set
+    signature (count + xor of xxhash64 — the edges are distinct, so xor is
+    an order-free set digest with no ANSI overflow) is stable across an
+    iteration.
+
+    Returns ``(node, component)`` for every node incident to an edge, where
+    ``component`` is the minimum node id in its connected component (the
+    canonical representative). Isolated vertices carry no edges and do not
+    appear — callers union them back (component = own id).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        # large-star: each node u attaches its strictly-larger neighbors to
+        # min(Gamma(u) + {u}) — keyed on u, one shuffle (window min)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        e1 = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: key each edge on its LARGER endpoint; the key and all
+        # its (smaller) neighbors attach to the neighborhood minimum
+        ek = e1.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        w2 = Window.partitionBy("u")
+        star = ek.withColumn("m", F.min("v").over(w2))
+        e = (
+            star.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(star.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            # fixpoint: e is a star forest, every edge is (node -> root);
+            # the roots map to themselves
+            members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+            roots = (
+                e.select(F.col("v").alias("node")).distinct()
+                .select("node", F.col("node").alias("component"))
+            )
+            return members.union(roots)
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
