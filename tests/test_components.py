@@ -63,3 +63,18 @@ def test_components_multiple_and_duplicate_edges(spark):
 def test_components_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert connected_components(df).count() == 0
+
+
+def test_dedup_by_components_keeps_canonicals(spark):
+    from topicrawler_spark.pipeline.dedup import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 4), (4, 6), (2, 3)], "src long, dst long")
+    comp = connected_components(edges)
+    kept = sorted(
+        r["doc_id"] for r in dedup_by_components(docs, comp).collect()
+    )
+    # clusters {1,4,6} -> keep 1, {2,3} -> keep 2; 0,5,7 untouched
+    assert kept == [0, 1, 2, 5, 7]

@@ -404,3 +404,22 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
+
+
+def dedup_by_components(
+    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical row per near-duplicate cluster: given the
+    ``(node, component)`` map from ``connected_components``, retain exactly
+    the rows whose id IS their component's minimum (the canonical
+    representative) plus all rows outside any cluster. One broadcast-or-hash
+    join keyed on the id — the standard last step of corpus near-dedup
+    (pairs -> components -> keep min)."""
+    comp = components.select(
+        F.col("node").alias("_dd_id"), F.col("component").alias("_dd_comp")
+    )
+    return (
+        df.join(comp, df[id_col] == F.col("_dd_id"), "left")
+        .where(F.col("_dd_comp").isNull() | (F.col("_dd_comp") == df[id_col]))
+        .drop("_dd_id", "_dd_comp")
+    )
