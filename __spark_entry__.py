@@ -28,8 +28,30 @@ _T = {"region", "nation", "customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings"}
 
 
-def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+def _load(
+    spark: SparkSession, sf_dir: str, *names: str, spread: bool = False
+) -> dict[str, DataFrame]:
+    """Read test tables; with ``spread=True`` round-robin them across the
+    executor slots first.
+
+    The sf* fixtures are single-file, single-row-group parquet, so the scan
+    is inherently ONE task — every expression evaluated before the first
+    shuffle (canonicalization chains, shingling, pandas UDFs) would run
+    serially, which both misrepresents the at-scale plan (a 100 TB table is
+    thousands of row groups and parallelizes in the scan itself) and wastes
+    all but one core. ``spread=True`` restores that parallelism with one
+    exchange of the raw rows; entries whose per-row work is heavy (text,
+    URL, embedding expressions / pandas UDFs) opt in, while pure-relational
+    aggregations skip it (the exchange would cost more than the scan-side
+    work it parallelizes). Value-neutral: no oracle compares row order, and
+    every oracle-checked entry selects subsets by explicit key predicates,
+    never by file position."""
+    par = spark.sparkContext.defaultParallelism
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        out[n] = df.repartition(par) if spread else df
+    return out
 
 
 # deterministic synthetic URL column over `orders` (same SQL evaluated by
@@ -87,7 +109,7 @@ canonized AS (SELECT url, """ + _DUCK_CANON + r""" AS canon FROM canon_steps)
 
 
 def _urls_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _load(spark, sf_dir, "orders")["orders"]
+    orders = _load(spark, sf_dir, "orders", spread=True)["orders"]
     return orders.select(F.expr(_SPARK_URL).alias("url"), "o_orderkey", "o_custkey")
 
 
@@ -609,7 +631,7 @@ def q_ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational core; the lt.seg tokenizer parity is pytest-verified)."""
     from topicrawler_spark.lm.counting import count_ngrams
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=2)
     return counts.filter(F.col("n") == 2).select("ngram", "cnt")
@@ -618,14 +640,14 @@ def q_ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_mincount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.lm.counting import count_ngrams
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=3, mincount=5)
     return counts.select("ngram", "n", "cnt")
 
 
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     return (
         docs.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("word"))
         .groupBy("word")
@@ -637,7 +659,7 @@ def q_nfollow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N_follow continuation counts from the bigram table."""
     from topicrawler_spark.lm.counting import build_lm_counts, count_ngrams
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=2)
     joined = build_lm_counts(counts)
@@ -656,7 +678,7 @@ def q_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The __sum_ngrams__ count-of-counts histogram."""
     from topicrawler_spark.lm.counting import count_ngrams
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=2)
     return (
@@ -669,7 +691,7 @@ def q_mle_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-based MLE log10 probability of every counted bigram."""
     from topicrawler_spark.lm.counting import count_ngrams, score_mle_join
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=2).cache()
     bigrams = counts.filter(F.col("n") == 2).select("ngram")
@@ -683,7 +705,7 @@ def _bigram_candidates(spark: SparkSession, sf_dir: str):
     (reversals are mostly unseen — they exercise the backoff branches)."""
     from topicrawler_spark.lm.counting import count_ngrams
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=2).cache()
     bigrams = counts.filter(F.col("n") == 2).select("ngram")
@@ -732,7 +754,7 @@ def _trigram_candidates(spark: SparkSession, sf_dir: str):
     are mostly unseen — they exercise the order-3 backoff chain)."""
     from topicrawler_spark.lm.counting import count_ngrams
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=3).cache()
     tri = counts.filter(F.col("n") == 3).select("ngram")
@@ -775,7 +797,7 @@ def q_doc_perplexity_kn2(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision variable (broadcast-scorer ``doc_perplexity`` entry)."""
     from topicrawler_spark.lm.counting import count_ngrams, ngram_windows, score_kn_join
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     toks = F.split(_norm_text(F.col("text")), " ")
     padded = F.concat(F.array(F.lit("<s>")), toks, F.array(F.lit("</s>")))
     sent = docs.select("doc_id", padded.alias("tokens"))
@@ -802,7 +824,7 @@ def _doc_perp_kn_order(spark: SparkSession, sf_dir: str, order: int) -> DataFram
     order drop out (size guard — the join scorer nulls sub-order rows)."""
     from topicrawler_spark.lm.counting import count_ngrams, ngram_windows, score_kn_join
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     toks = F.split(_norm_text(F.col("text")), " ")
     padded = F.concat(F.array(F.lit("<s>")), toks, F.array(F.lit("</s>")))
     sent = docs.select("doc_id", padded.alias("tokens"))
@@ -846,7 +868,7 @@ def _doc_mle_perp(spark: SparkSession, sf_dir: str):
     bigram and drop out, mirroring the min-2-words sentence gate."""
     from topicrawler_spark.lm.counting import count_ngrams, ngram_windows
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     toks = F.split(_norm_text(F.col("text")), " ")
     sent = docs.select("doc_id", toks.alias("tokens"))
     counts = count_ngrams(sent.select("tokens"), order=2)
@@ -930,8 +952,8 @@ def q_score_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.lm.counting import build_local_lm
     from topicrawler_spark.lm.perplexity import DocumentScorer
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
-    lm = build_local_lm(spark, docs.limit(200), order=3)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
+    lm = build_local_lm(spark, docs.filter(F.col("doc_id") < 200), order=3)
     bc = spark.sparkContext.broadcast(DocumentScorer(lm, "kneser-ney"))
     return score_sentences(docs, bc).select(
         "doc_id", "seq_no", "sentence", F.round("perp", 4).alias("perp")
@@ -946,7 +968,7 @@ def q_oov_reflm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.lm.apps import reference_vocab_split
     from topicrawler_spark.lm.counting import count_ngrams
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     sentences = docs.select(F.split(_norm_text(F.col("text")), " ").alias("tokens"))
     counts = count_ngrams(sentences, order=2)
     bigrams = counts.filter(F.col("n") == 2).select("ngram", "cnt")
@@ -962,7 +984,7 @@ def q_oov_reflm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import exact_duplicates
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     dups = exact_duplicates(docs, "doc_id", "text")
     return dups.select(
         F.element_at("doc_ids", 1).alias("min_id"), F.col("group_size")
@@ -972,13 +994,13 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 100)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"].filter(F.col("doc_id") < 100)
     pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.2)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     t = F.col("text")
     words = F.split(F.trim(t), r"\s+")
     n_chars = F.length(t)
@@ -995,12 +1017,12 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.textstats import whitespace_token_count
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     return docs.select("doc_id", whitespace_token_count(F.col("text")).alias("n_tokens"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     return docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
 
 
@@ -1020,7 +1042,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import connected_components
     from topicrawler_spark.pipeline.similarity import cosine_expr
 
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"]
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
     edges = (
@@ -1038,7 +1060,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the first vector (exact baseline)."""
     from topicrawler_spark.pipeline.similarity import brute_force_topk
 
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"]
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     top = brute_force_topk(emb, q, k=10)
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
@@ -1048,7 +1070,7 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine over a small id range (exact, JVM-side arithmetic)."""
     from topicrawler_spark.pipeline.similarity import cosine_expr
 
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 40)
+    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"].filter(F.col("vec_id") < 40)
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
     return (
@@ -1157,21 +1179,21 @@ def q_user_event_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import minhash_lsh_pairs
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     return minhash_lsh_pairs(docs, n_hashes=32, bands=8, shingle_k=3)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import simhash_pairs
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     return simhash_pairs(docs, max_hamming=10, shingle_k=2)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.similarity import ann_topk
 
-    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"]
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     return ann_topk(emb, q, k=10, n_tables=12, n_planes=8)
 
@@ -1179,7 +1201,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.textstats import make_langid_udf
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     lid = make_langid_udf()
     return docs.groupBy(lid(F.col("text")).alias("lang_detected")).agg(
         F.count(F.lit(1)).alias("n")
@@ -1189,7 +1211,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.textstats import winnowing_fingerprints
 
-    docs = _load(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 50)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"].filter(F.col("doc_id") < 50)
     return winnowing_fingerprints(docs).select("doc_id", F.size("fingerprints").alias("n_fp"))
 
 
@@ -1197,7 +1219,7 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical extraction pipeline over synthesized html."""
     from topicrawler_spark.functions.udfs import make_extract_text_udf
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     html = F.encode(
         F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p><a href='x.html'>x</a></body></html>")),
         "utf-8",
@@ -1213,8 +1235,8 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.lm.perplexity import DocumentScorer
     from topicrawler_spark.functions.udfs import make_perplexity_udf
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
-    lm = build_local_lm(spark, docs.limit(200), order=3)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
+    lm = build_local_lm(spark, docs.filter(F.col("doc_id") < 200), order=3)
     scorer = DocumentScorer(lm, "kneser-ney")
     bc = spark.sparkContext.broadcast(scorer)
     return docs.select("doc_id", F.round(make_perplexity_udf(bc)(F.col("text")), 4).alias("perp"))
@@ -1275,7 +1297,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from topicrawler_spark.pipeline.multimodal import encode_png, image_features
 
-    docs = _load(spark, sf_dir, "documents")["documents"].limit(50)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"].filter(F.col("doc_id") < 50)
 
     @F.pandas_udf(BinaryType())
     def make_png(doc_id: pd.Series) -> pd.Series:
@@ -1321,7 +1343,7 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from topicrawler_spark.pipeline.multimodal import audio_features, encode_wav
 
-    docs = _load(spark, sf_dir, "documents")["documents"].limit(50)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"].filter(F.col("doc_id") < 50)
 
     @F.pandas_udf(BinaryType())
     def make_wav(doc_id: pd.Series) -> pd.Series:
@@ -1360,7 +1382,7 @@ def q_sample_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing. Frame bytes project to a hash for sortable output."""
     from topicrawler_spark.pipeline.multimodal import sample_video_frames
 
-    docs = _load(spark, sf_dir, "documents")["documents"].limit(50)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"].filter(F.col("doc_id") < 50)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
@@ -1393,8 +1415,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from topicrawler_spark.lm.counting import build_local_lm
     from topicrawler_spark.lm.perplexity import DocumentScorer
 
-    docs = _load(spark, sf_dir, "documents")["documents"]
-    lm = build_local_lm(spark, docs.limit(100), order=3)
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
+    lm = build_local_lm(spark, docs.filter(F.col("doc_id") < 100), order=3)
     scorer = DocumentScorer(lm, "kneser-ney")
     bc = spark.sparkContext.broadcast(scorer)
     scored = docs.select("doc_id", make_perplexity_udf(bc)(F.col("text")).alias("perp"))
