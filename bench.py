@@ -9,8 +9,12 @@ expanded+scored per second on a deterministic synthetic web corpus
 env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     (default all)
-  BENCH_PAGES          (synthetic corpus size, default 4000)
-  BENCH_ROUNDS         (crawl rounds, default 3)
+  BENCH_PAGES          (synthetic corpus size, default 120000)
+  BENCH_ROUNDS         (crawl rounds, default 5)
+  BENCH_SEEDS          (seed URLs, default max(8, pages/50))
+  BENCH_QUOTA          (per-host politeness quota, default 100)
+  BENCH_BLOOM_MIN_SEEN / BENCH_ORDINAL_MAX / BENCH_SCORE_WAVES
+                       (regime-threshold experiment knobs)
 """
 
 from __future__ import annotations
