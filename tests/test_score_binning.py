@@ -28,15 +28,25 @@ def test_murmur3_int32_matches_spark_hash(spark):
         assert murmur3_int32(r["v"]) == want, r["v"]
 
 
+def _signed_pmod(h: int, n: int) -> int:
+    # Spark pmod's the SIGNED int32 hash; Python % is already pmod.
+    if h >= 1 << 31:
+        h -= 1 << 32
+    return h % n
+
+
 def test_probe_ints_cover_all_partitions():
-    for n in (2, 8, 32, 128):
+    # include non-powers-of-two: unsigned-mod bucketing only agrees with
+    # Spark's signed pmod when n divides 2^32, so n=6/12/24/100 would catch
+    # a regression to the unsigned interpretation
+    for n in (2, 6, 8, 12, 24, 32, 100, 128):
         probes = partition_probe_ints(n)
         assert len(probes) == n
-        assert sorted(murmur3_int32(p) % n for p in probes) == list(range(n))
+        assert sorted(_signed_pmod(murmur3_int32(p), n) for p in probes) == list(range(n))
 
 
 def test_probe_repartition_is_identity_placement(spark):
-    n = 16
+    n = 24  # deliberately not a power of two
     probes = partition_probe_ints(n)
     df = spark.createDataFrame(pd.DataFrame({"bin": list(range(n)) * 5}))
     probe_arr = F.array(*[F.lit(p) for p in probes])

@@ -167,10 +167,21 @@ def run_crawl(
             # With AQE off, right-size the static shuffle partitioning to the
             # executor-slot count (the coalescing AQE would otherwise perform).
             small = frontier_hint is not None and frontier_hint < cfg.salt_min_frontier
-            spark.conf.set("spark.sql.adaptive.enabled", "false" if small else aqe_orig)
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(cores) if small else shuffle_orig
-            )
+            desired_aqe = "false" if small else aqe_orig
+            desired_shuffle = str(cores) if small else shuffle_orig
+            if (
+                spark.conf.get("spark.sql.adaptive.enabled", aqe_orig) != desired_aqe
+                or spark.conf.get("spark.sql.shuffle.partitions", shuffle_orig)
+                != desired_shuffle
+            ):
+                # regime TRANSITION: the background committer's frontier/seen
+                # jobs compile under the live session conf — join it before
+                # flipping so its plans never run under the next round's (or a
+                # half-flipped) conf. Steady-state rounds leave the conf
+                # untouched and keep the commit/plan-build overlap.
+                _join_bg()
+                spark.conf.set("spark.sql.adaptive.enabled", desired_aqe)
+                spark.conf.set("spark.sql.shuffle.partitions", desired_shuffle)
             # Bloom regime: once the seen set passes the threshold (or its
             # size is unknown post-resume, i.e. possibly at-scale), build the
             # sharded filter from the committed seen set; thereafter

@@ -125,7 +125,14 @@ def partition_probe_ints(n: int) -> list[int]:
     found = 0
     v = 0
     while found < n:
-        r = murmur3_int32(v) % n
+        # HashPartitioning applies pmod to the SIGNED int32 hash; Python's %
+        # is already pmod, so reinterpret the unsigned murmur value as signed
+        # first. (unsigned % n only agrees when n divides 2^32 — for e.g.
+        # n=24 it misplaces most probes and leaves partitions empty.)
+        h = murmur3_int32(v)
+        if h >= 1 << 31:
+            h -= 1 << 32
+        r = h % n
         if probes[r] < 0:
             probes[r] = v
             found += 1

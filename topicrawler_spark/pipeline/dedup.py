@@ -200,7 +200,12 @@ def simhash_signatures(
     set iff set-votes*2 > total (i.e. the +-1 vote sum is positive —
     identical to the array-aggregate form, which Catalyst chews seconds of
     analyzer/interpreter time on: 64 lambda traversals per row vs one
-    flat pass here)."""
+    flat pass here).
+
+    Documents whose shingle array explodes to no rows (NULL text) still get
+    a signature: sim = 0, via a left join back to the input ids — so
+    trivially-empty duplicates keep pairing with each other in
+    ``simhash_pairs`` (they all share sim 0)."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -224,7 +229,11 @@ def simhash_signatures(
                 i,
             )
         )
-    return votes.select("doc_id", sim.alias("sim"))
+    sigs = votes.select("doc_id", sim.alias("sim"))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(sigs, "doc_id", "left").select(
+        "doc_id", F.coalesce("sim", F.lit(0).cast("long")).alias("sim")
+    )
 
 
 def simhash_pairs(

@@ -233,17 +233,41 @@ def _decode_image_stub(content: bytes, strict: bool) -> np.ndarray:
 
 def decode_image(content: bytes, strict: bool) -> np.ndarray:
     """PNG decodes for real (stdlib kernel above); other formats fall to the
-    marked stub (strict mode raises)."""
+    marked stub (strict mode raises). In non-strict (test) mode a MALFORMED
+    PNG (16-bit/interlaced, corrupt IDAT, truncated) falls back to the
+    deterministic stub instead of failing the whole Arrow batch — one bad
+    blob in crawled bytes must not kill the job; strict mode still raises."""
     if content.startswith(_PNG_MAGIC):
-        return decode_png(content)
+        if strict:
+            return decode_png(content)
+        try:
+            return decode_png(content)
+        except (ValueError, zlib.error, struct.error, IndexError):
+            return _decode_image_stub(content, strict=False)
     return _decode_image_stub(content, strict)
 
 
-def _resize_stub(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
-    """STUB resize (nearest-neighbor subsample — real impl uses PIL/cv2)."""
-    ys = np.linspace(0, img.shape[0] - 1, size[0]).astype(int)
-    xs = np.linspace(0, img.shape[1] - 1, size[1]).astype(int)
-    return img[np.ix_(ys, xs)]
+def resize_bilinear(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Real bilinear resize, pure numpy (vectorized gather + lerp) — the
+    standard align-corners=False convention (pixel centers at i + 0.5)."""
+    h, w = img.shape[0], img.shape[1]
+    oh, ow = size
+    squeeze = img.ndim == 2
+    arr = img[:, :, None].astype(np.float32) if squeeze else img.astype(np.float32)
+    # source coordinates of each output pixel center
+    sy = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
+    sx = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
+    y0 = np.floor(sy).astype(int)
+    x0 = np.floor(sx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (sy - y0)[:, None, None]
+    wx = (sx - x0)[None, :, None]
+    top = arr[y0][:, x0] * (1 - wx) + arr[y0][:, x1] * wx
+    bot = arr[y1][:, x0] * (1 - wx) + arr[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.rint(out), 0, 255).astype(img.dtype if img.dtype == np.uint8 else np.uint8)
+    return out[:, :, 0] if squeeze else out
 
 
 def image_features(
@@ -261,7 +285,7 @@ def image_features(
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
                 img = decode_image(b, strict)
-                small = _resize_stub(img, (8, 8))
+                small = resize_bilinear(img, (8, 8))
                 # feature stub: channel-mean blocks flattened to feature_dim
                 flat = small.astype(np.float32).mean(axis=2).flatten()
                 feats = flat[:feature_dim] / 255.0
@@ -356,8 +380,20 @@ def audio_features(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
                 b = bytes(content) if content is not None else b""
+                decoded = None
                 if b.startswith(b"RIFF"):
-                    x, rate = decode_wav(b)
+                    # non-strict mode tolerates malformed RIFF blobs (ADPCM,
+                    # truncated WAV) by falling to the stub below — one bad
+                    # crawled blob must not fail the whole Arrow batch
+                    if strict:
+                        decoded = decode_wav(b)
+                    else:
+                        try:
+                            decoded = decode_wav(b)
+                        except (ValueError, struct.error):
+                            decoded = None
+                if decoded is not None:
+                    x, rate = decoded
                     win = max(1, int(rate * window_ms / 1000))
                     n_windows = max(1, -(-len(x) // win))
                     chunks = [x[i * win : (i + 1) * win] for i in range(n_windows)]
