@@ -984,8 +984,17 @@ def q_oov_reflm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import exact_duplicates
 
-    docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
-    dups = exact_duplicates(docs, "doc_id", "text")
+    docs = _load(spark, sf_dir, "documents", spread=True)["documents"].select(
+        "doc_id", "text"
+    )
+    # The synthetic documents table has zero identical texts at every SF, so a
+    # bare run is vacuously correct. Inject deterministic exact duplicates
+    # (every 7th doc copied under id+1_000_000) so the oracle proves the
+    # group-by-normalized-text path on real multi-member groups.
+    injected = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    dups = exact_duplicates(docs.unionByName(injected), "doc_id", "text")
     return dups.select(
         F.element_at("doc_ids", 1).alias("min_id"), F.col("group_size")
     )
@@ -994,8 +1003,20 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    docs = _load(spark, sf_dir, "documents", spread=True)["documents"].filter(F.col("doc_id") < 100)
-    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.2)
+    docs = (
+        _load(spark, sf_dir, "documents", spread=True)["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    # No natural pair in the synthetic corpus clears jaccard 0.2 (max ~0.03),
+    # so inject near-duplicates: every 3rd doc reappears under id+1000 with
+    # one appended token — its shingle set is the original's plus one, so the
+    # planted pairs score n/(n+1) and the oracle checks real matches.
+    variants = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqxplanted")).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(docs.unionByName(variants), shingle_k=3, threshold=0.2)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1738,13 +1759,24 @@ SELECT ngram, cnt FROM counts
 WHERE string_split(ngram, ' ')[2] IN (SELECT word FROM ref)
 """,
         "exact_dup_groups": f"""
-WITH n AS (SELECT doc_id, {_DUCK_NORM} AS nt FROM documents)
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+),
+n AS (SELECT doc_id, {_DUCK_NORM} AS nt FROM base)
 SELECT min(doc_id) AS min_id, count(*) AS group_size
 FROM n GROUP BY nt HAVING count(*) > 1
 """,
         "ngram_jaccard": r"""
-WITH n AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tok
-           FROM documents WHERE doc_id < 100),
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000, text || ' zqxplanted' FROM documents
+  WHERE doc_id < 100 AND doc_id % 3 = 0
+),
+n AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tok
+           FROM base),
 sh AS (
   SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS s
   FROM n, UNNEST(generate_series(1, len(tok)-2)) AS t(i)
