@@ -1020,6 +1020,72 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline in one oracled entry: pair finder
+    (``ngram_jaccard_pairs``) -> transitive closure
+    (``connected_components``, large-star/small-star) -> canonical keep
+    (``dedup_by_components``). Planted structure makes every stage earn its
+    keep: every 3rd doc reappears with one appended token (id+1000), every
+    6th additionally under id-1000 with two appended tokens — so clusters of
+    size 3 exist whose canonical minimum is a PLANTED id, and the kept set is
+    not simply the original ids. DuckDB oracle: shingle-join jaccard +
+    recursive min-label CTE + keep-where-min."""
+    from topicrawler_spark.pipeline.dedup import (
+        connected_components,
+        dedup_by_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents", spread=True)["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    v_pos = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqxplanted")).alias("text"),
+    )
+    v_neg = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") - 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqxplanted zqxtwo")).alias("text"),
+    )
+    corpus = docs.unionByName(v_pos).unionByName(v_neg)
+    pairs = ngram_jaccard_pairs(corpus, shingle_k=3, threshold=0.2)
+    comp = connected_components(pairs, "a", "b")
+    kept = dedup_by_components(corpus, comp, "doc_id")
+    return kept.select("doc_id", F.length("text").alias("n_chars_kept"))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup — the boilerplate-removal
+    pass of LLM corpus curation. The synthetic docs have no paragraph
+    breaks, so the entry deterministically builds them on both sides: the
+    token stream chunked into 10-token paragraphs joined by blank lines,
+    with a shared cookie-banner paragraph planted at the front of every 4th
+    document. Returns the per-doc rollup: paragraph count, corpus-wide
+    duplicate paragraphs, kept-first count, duplicate ratio."""
+    from topicrawler_spark.pipeline.dedup import paragraph_dedup_stats
+
+    docs = (
+        _load(spark, sf_dir, "documents", spread=True)["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    body = F.array_join(chunks, "\n\n")
+    text_p = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("zqx cookie banner accept all\n\n"), body),
+    ).otherwise(body)
+    pdocs = docs.select("doc_id", text_p.alias("text"))
+    return paragraph_dedup_stats(pdocs)
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents", spread=True)["documents"]
     t = F.col("text")
@@ -1477,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_reflm_split": q_oov_reflm_split,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_end_to_end": q_dedup_end_to_end,
+        "paragraph_dedup": q_paragraph_dedup,
         "doc_quality": q_doc_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1793,6 +1861,76 @@ inter AS (
 SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+""",
+        "dedup_end_to_end": r"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000, text || ' zqxplanted' FROM documents
+  WHERE doc_id < 100 AND doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id - 1000, text || ' zqxplanted zqxtwo' FROM documents
+  WHERE doc_id < 100 AND doc_id % 6 = 0
+),
+n AS (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS tok
+      FROM base),
+sh AS (
+  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS s
+  FROM n, UNNEST(generate_series(1, len(tok)-2)) AS t(i)
+  WHERE len(tok) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(tok, ' ') AS s FROM n WHERE len(tok) < 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+),
+ed AS (SELECT a AS i, b AS j FROM p UNION ALL SELECT b AS i, a AS j FROM p),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT ed.j, reach.comp FROM reach JOIN ed ON ed.i = reach.id
+  WHERE reach.comp < ed.j
+),
+comp AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id)
+SELECT base.doc_id, length(base.text) AS n_chars_kept
+FROM base JOIN comp ON base.doc_id = comp.doc_id
+WHERE comp.component = base.doc_id
+""",
+        "paragraph_dedup": r"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tok
+           FROM documents WHERE doc_id < 200),
+chunks AS (
+  SELECT doc_id,
+         i + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS para_idx,
+         array_to_string(tok[(i*10+1):(i*10+10)], ' ') AS para
+  FROM d, UNNEST(generate_series(0, CAST(ceil(len(tok)/10.0) AS INT) - 1)) AS t(i)
+),
+paras AS (
+  SELECT doc_id, para_idx, para FROM chunks WHERE trim(para) <> ''
+  UNION ALL
+  SELECT doc_id, 0, 'zqx cookie banner accept all' FROM d WHERE doc_id % 4 = 0
+),
+flags AS (
+  SELECT doc_id,
+    count(*) OVER (PARTITION BY lower(regexp_replace(trim(para), '\s+', ' ', 'g'))) AS n_occ,
+    row_number() OVER (PARTITION BY lower(regexp_replace(trim(para), '\s+', ' ', 'g'))
+                       ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+)
+SELECT doc_id, count(*) AS n_paras,
+  sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_paras,
+  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+  round(avg(CASE WHEN n_occ > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_ratio
+FROM flags GROUP BY doc_id
 """,
         "doc_quality": r"""
 SELECT doc_id,

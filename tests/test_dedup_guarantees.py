@@ -127,3 +127,80 @@ def test_minhash_scurve_rejects_low_similarity(spark, corpus):
     for r in minhash_lsh_pairs(df, n_hashes=64, bands=16, shingle_k=3).collect():
         got.add((r["a"], r["b"]))
     assert len(low & got) <= 1, (low & got)
+
+
+def test_paragraph_dedup_planted_boilerplate(spark):
+    """Planted-boilerplate ground truth for the sub-document dedup pass: a
+    shared cookie-banner paragraph in half the docs, a unique body paragraph
+    per doc, and one intra-doc repeated paragraph. Keep-first must retain
+    exactly one banner occurrence (in the lowest doc_id) and the first copy
+    of the repeated paragraph."""
+    from topicrawler_spark.pipeline.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_stats,
+        reassemble_kept,
+    )
+
+    banner = "Accept all cookies to continue"
+    rows = []
+    for i in range(6):
+        paras = [f"unique body paragraph {i}"]
+        if i % 2 == 0:
+            paras.insert(0, banner)
+        if i == 3:
+            paras.append("repeat me")
+            paras.append("repeat me")
+        rows.append((i, "\n\n".join(paras)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = paragraph_dedup(df).collect()
+    banner_rows = [r for r in d if r["para"] == banner]
+    assert len(banner_rows) == 3
+    kept_banner = [r for r in banner_rows if r["keep"]]
+    assert [(r["doc_id"], r["para_idx"]) for r in kept_banner] == [(0, 0)]
+    assert all(r["n_occurrences"] == 3 for r in banner_rows)
+    rep = sorted(
+        (r["para_idx"], r["keep"]) for r in d if r["para"] == "repeat me"
+    )
+    assert rep == [(1, True), (2, False)]
+
+    stats = {r["doc_id"]: r for r in paragraph_dedup_stats(df).collect()}
+    assert stats[0]["n_paras"] == 2 and stats[0]["n_dup_paras"] == 1
+    assert stats[0]["n_kept"] == 2  # owns the banner's first occurrence
+    assert stats[2]["n_kept"] == 1 and stats[2]["n_dup_paras"] == 1
+    assert stats[3]["n_paras"] == 3 and stats[3]["n_dup_paras"] == 2
+    assert stats[3]["n_kept"] == 2  # body + first "repeat me"
+    assert stats[1] and stats[1]["dup_ratio"] == 0.0
+
+    kept_text = {r["doc_id"]: r["text"] for r in reassemble_kept(paragraph_dedup(df)).collect()}
+    assert kept_text[0] == f"{banner}\n\nunique body paragraph 0"
+    assert kept_text[2] == "unique body paragraph 2"
+    assert kept_text[3] == "unique body paragraph 3\n\nrepeat me"
+
+
+def test_dedup_end_to_end_chain_cluster(spark):
+    """pairs -> connected_components -> dedup_by_components on a planted
+    CHAIN (A~B, B~C, A!~C): transitive closure must collapse the whole chain
+    to its minimum id even though the endpoints never pair directly."""
+    from topicrawler_spark.pipeline.dedup import (
+        connected_components,
+        dedup_by_components,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    a = [rng.choice(vocab) for _ in range(100)]
+    b = a[30:] + [rng.choice(vocab) for _ in range(30)]   # ~0.5 jaccard to a
+    c = b[30:] + [rng.choice(vocab) for _ in range(30)]   # ~0.5 to b, ~0.2 to a
+    lone = [rng.choice(vocab) for _ in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b)), (3, " ".join(c)), (9, " ".join(lone))],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, shingle_k=3, threshold=0.3)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (2, 3)}  # the chain, no shortcut edge
+    comp = connected_components(pairs, "a", "b")
+    kept = sorted(r["doc_id"] for r in dedup_by_components(df, comp).collect())
+    assert kept == [1, 9]

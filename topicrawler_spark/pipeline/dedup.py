@@ -415,6 +415,99 @@ def connected_components(
     )
 
 
+def paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+) -> DataFrame:
+    """Explode documents into ``(doc_id, para_idx, para)`` rows — Catalyst
+    only (split + posexplode), empty paragraphs dropped. ``sep`` is the
+    paragraph-boundary regex (blank line by default)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+    ).where(F.trim(F.col("para")) != "")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+) -> DataFrame:
+    """Corpus-wide exact dedup below document granularity: every paragraph
+    occurrence annotated with its global occurrence count and a ``keep``
+    flag — true exactly for the first occurrence of that normalized text,
+    by ``(doc_id, para_idx)``. This is the standard boilerplate/line-dedup
+    pass of LLM corpus curation (cookie banners, nav bars, repeated headers
+    appear in millions of documents; keep one, and the per-document
+    duplicate ratio is itself a quality signal).
+
+    Scale shape: groupBy-aggregate on the normalized paragraph (map-side
+    partial aggregation collapses a viral boilerplate key to one row per
+    map task BEFORE the shuffle — a window over the same key would instead
+    gather every occurrence of a hot paragraph into one task), then one
+    hash join back on the normalized text; AQE skew-join splits the hot
+    build rows at runtime."""
+    p = paragraphs(df, id_col, text_col, sep).withColumn(
+        "pnorm", normalized_text(F.col("para"))
+    )
+    agg = p.groupBy("pnorm").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min(F.struct("doc_id", "para_idx")).alias("_first"),
+    )
+    return p.join(agg, "pnorm").select(
+        "doc_id",
+        "para_idx",
+        "para",
+        "n_occurrences",
+        (
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("para_idx") == F.col("_first.para_idx"))
+        ).alias("keep"),
+    )
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n{2,}",
+) -> DataFrame:
+    """Per-document rollup of ``paragraph_dedup``: paragraph count, how many
+    of them are corpus-wide duplicates, how many this document gets to keep
+    (it owns the first occurrence), and the duplicate ratio (a standard
+    boilerplate-contamination quality signal)."""
+    d = paragraph_dedup(df, id_col, text_col, sep)
+    is_dup = (F.col("n_occurrences") > 1).cast("long")
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(is_dup).alias("n_dup_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(F.avg(is_dup.cast("double")), 6).alias("dup_ratio"),
+    )
+
+
+def reassemble_kept(dedup: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Keep-first reassembly: each document rebuilt from only its kept
+    paragraphs, in original order. One groupBy per doc (documents are
+    bounded-size, so the collect_list is too)."""
+    return (
+        dedup.where(F.col("keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+
+
 def dedup_by_components(
     df: DataFrame, components: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
