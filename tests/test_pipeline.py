@@ -356,3 +356,155 @@ def test_image_audio_features_real_kernels(spark):
     assert len(au) == 1 and au[0]["n_windows"] == 2
     for e in au[0]["energy"]:
         assert e == pytest.approx(0.5 / math.sqrt(2), abs=1e-3)
+
+
+def _png_forward_filter(img, filters):
+    """Forward-filter scanlines per the PNG spec (RFC 2083 §6) — written
+    here, independently of the decoder's inverse, so the golden test is a
+    spec cross-check rather than an encode/decode round-trip."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    out = bytearray()
+    prev = [0] * (w * ch)
+    for y in range(h):
+        f = filters[y]
+        cur = [int(v) for v in img[y].flatten()]
+        out.append(f)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:  # Sub
+                pred = a
+            elif f == 2:  # Up
+                pred = b
+            elif f == 3:  # Average
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[i] - pred) & 0xFF)
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_spec_golden():
+    """decode_png must invert scanlines filtered with every PNG filter type
+    (Sub/Up/Average/Paeth), where the filtered bytes were produced by an
+    independent forward implementation of the spec — our encoder only emits
+    filter 0, so a round-trip alone would never exercise these paths."""
+    import numpy as np
+
+    from topicrawler_spark.pipeline.multimodal import decode_png
+
+    rng = np.random.default_rng(23)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(5, 4, ch), dtype=np.uint8)
+        png = _png_forward_filter(img, filters=[1, 2, 3, 4, 2])
+        assert (decode_png(png) == img).all(), ch
+    # hand-computed golden: 2x2 gray, row0 Sub, row1 Paeth
+    # row0 raw [10, 250]: filtered [10, (250-10)&0xFF=240]
+    # row1 raw [7, 3]: paeth preds: i0 -> b=10 -> (7-10)&0xFF=253;
+    #   i1 -> a=7,b=250,c=10, p=247, |p-a|=240,|p-b|=3,|p-c|=237 -> pred=250
+    #   -> (3-250)&0xFF=9
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytes([1, 10, 240, 4, 253, 9])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    from topicrawler_spark.pipeline.multimodal import decode_png as dp
+
+    assert dp(png).reshape(2, 2).tolist() == [[10, 250], [7, 3]]
+
+
+def test_png_decode_palette_golden():
+    """Indexed-color PNG: PLTE lookup must expand indices to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from topicrawler_spark.pipeline.multimodal import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    raw = bytes([0, 0, 1, 0, 3, 2])  # 2 rows of [idx,idx], filter 0
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.tolist() == [[[255, 0, 0], [0, 255, 0]], [[7, 8, 9], [0, 0, 255]]]
+    assert out.dtype == np.uint8
+
+
+def test_decode_image_nonstrict_tolerates_malformed(spark):
+    """One malformed PNG/WAV blob in crawled bytes must not fail the batch
+    in non-strict mode: the decoders fall back to the deterministic stub."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from topicrawler_spark.pipeline.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.full((4, 4, 3), 50, dtype=np.uint8))
+    truncated = good[:40]
+    corrupt_idat = good[:-20] + b"\x00" * 20  # zeroed IDAT tail + bad CRC/IEND
+
+    import pytest as _pytest
+
+    for bad in (truncated, corrupt_idat):
+        with _pytest.raises((ValueError, zlib.error, struct.error, Exception)):
+            decode_png(bad)
+        out = decode_image(bad, strict=False)  # falls back, never raises
+        assert out.shape[2] == 3
+    assert (decode_image(good, strict=False) == 50).all()
