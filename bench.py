@@ -13,6 +13,8 @@ env knobs:
   BENCH_ROUNDS         (crawl rounds, default 5)
   BENCH_SEEDS          (seed URLs, default max(8, pages/50))
   BENCH_QUOTA          (per-host politeness quota, default 100)
+  BENCH_SCORE_MODE     (broadcast|join — join benches the corpus-scale
+                       relational scoring path against the count table)
   BENCH_BLOOM_MIN_SEEN / BENCH_ORDINAL_MAX / BENCH_SCORE_WAVES
                        (regime-threshold experiment knobs)
 """
@@ -76,10 +78,17 @@ def main() -> None:
     # core) for straggler-tail tuning experiments.
     waves_env = os.environ.get("BENCH_SCORE_WAVES", "")
     waves_kw = {"score_waves": int(waves_env)} if waves_env else {}
+    # BENCH_SCORE_MODE=join benches the corpus-scale RELATIONAL scoring path
+    # (count-table joins instead of the broadcast LM — the regime once the
+    # topic LM outgrows a driver broadcast). Results are parity-tested
+    # identical (tests/test_join_crawl.py); this knob gives the at-scale
+    # path its own throughput/scaling numbers.
+    score_mode = os.environ.get("BENCH_SCORE_MODE", "broadcast")
     cfg = CrawlConfig(
         order=3,
         per_host_quota=int(os.environ.get("BENCH_QUOTA", "100")),
         max_hops=15,
+        score_mode=score_mode,
         **bloom_kw,
         **ord_kw,
         **waves_kw,
@@ -100,17 +109,24 @@ def main() -> None:
     # JIT-compiles the codegen'd stages — on a cluster these are the
     # long-running executors' steady state, which is what the N-vs-4N
     # scaling comparison is about. Cold-start cost is reported in `detail`.
+    lm_counts = None
+    if score_mode == "join":
+        lm_counts = spark.createDataFrame(
+            [(g, len(g.split(" ")), c) for g, c in lm.counts.items()],
+            "ngram string, n int, cnt long",
+        )
+
     t_cold = time.time()
     run_crawl(
         spark, pages, corpus.seeds, scorer, 1, cfg,
-        collect_metrics=False, pages_prepared=True,
+        collect_metrics=False, pages_prepared=True, lm_counts=lm_counts,
     )
     warmup_sec = time.time() - t_cold
 
     t0 = time.time()
     run = run_crawl(
         spark, pages, corpus.seeds, scorer, n_rounds, cfg,
-        collect_metrics=False, pages_prepared=True,
+        collect_metrics=False, pages_prepared=True, lm_counts=lm_counts,
     )
     crawl_sec = time.time() - t0
     expanded = sum(m.get("urls_discovered", m.get("urls_new", 0)) for m in run.metrics)
@@ -163,6 +179,7 @@ def main() -> None:
             "cpus": cpus,
             **({"bloom_min_seen": int(bloom_env)} if bloom_env else {}),
             **({"store": store_layout} if store_layout != "canon" else {}),
+            **({"score_mode": score_mode} if score_mode != "broadcast" else {}),
         },
     }
     print(json.dumps(out))
