@@ -508,3 +508,40 @@ def test_decode_image_nonstrict_tolerates_malformed(spark):
         out = decode_image(bad, strict=False)  # falls back, never raises
         assert out.shape[2] == 3
     assert (decode_image(good, strict=False) == 50).all()
+
+
+def test_simhash_null_and_empty_docs_still_pair(spark):
+    """Trivially-empty duplicates must keep pairing: NULL-text docs share
+    the constant single-[NULL]-shingle signature (xxhash64(NULL) = seed),
+    empty-string docs share the '' shingle's signature. Either way each
+    group pairs within itself at Hamming 0, so empty/near-empty dup groups
+    are still detected (ADVICE r4)."""
+    from topicrawler_spark.pipeline.dedup import simhash_pairs, simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "real content words here")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sim"] for r in simhash_signatures(df).collect()}
+    assert len(sigs) == 5  # every input id gets a signature
+    assert sigs[1] == sigs[2]
+    assert sigs[3] == sigs[4]
+    pairs = {(r["a"], r["b"]) for r in simhash_pairs(df, max_hamming=0).collect()}
+    assert (1, 2) in pairs and (3, 4) in pairs
+
+
+def test_resize_bilinear_golden():
+    """Real bilinear resize (align-corners=False): identity at same size,
+    hand-computed lerp values on an upscale."""
+    import numpy as np
+
+    from topicrawler_spark.pipeline.multimodal import resize_bilinear
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    assert (resize_bilinear(img, (6, 7)) == img).all()
+    # 1x2 -> 1x4: source centers at x = j*0.5 - 0.25 -> [0, .25, .75, 1] of
+    # the [0, 100] ramp -> [0, 25, 75, 100]
+    ramp = np.array([[0, 100]], dtype=np.uint8)
+    out = resize_bilinear(ramp, (1, 4))
+    assert out.tolist() == [[0, 25, 75, 100]]

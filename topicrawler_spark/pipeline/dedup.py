@@ -202,10 +202,12 @@ def simhash_signatures(
     analyzer/interpreter time on: 64 lambda traversals per row vs one
     flat pass here).
 
-    Documents whose shingle array explodes to no rows (NULL text) still get
-    a signature: sim = 0, via a left join back to the input ids — so
-    trivially-empty duplicates keep pairing with each other in
-    ``simhash_pairs`` (they all share sim 0)."""
+    Trivially-empty duplicates keep pairing with each other in
+    ``simhash_pairs``: NULL text yields the single-``[NULL]`` shingle (so
+    every NULL doc shares the constant xxhash64(NULL)=seed signature) and
+    empty text the single-``[""]`` shingle. The left join back to the input
+    ids is a defensive guard for custom shingle functions that can return an
+    empty/NULL array — such docs get sim = 0 instead of being dropped."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -251,7 +253,9 @@ def simhash_pairs(
     while n_blocks < max_hamming + 1 and n_blocks < 16:
         n_blocks *= 2
     bits = 64 // n_blocks
-    mask = (1 << bits) - 1
+    # bits == 64 (max_hamming=0) needs the all-ones mask, which only fits a
+    # signed long as -1
+    mask = -1 if bits == 64 else (1 << bits) - 1
     sigs = simhash_signatures(df, id_col, text_col, shingle_k).cache()
     blocked = sigs.select(
         "doc_id",
