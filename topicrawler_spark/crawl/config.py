@@ -66,6 +66,12 @@ class CrawlConfig:
     # per task. 4 waves keeps the tail under ~10% of stage wall at 8-32
     # slots without measurably raising total task time.
     score_waves: int = 4
+    # target pages per scoring bin. The Arrow scoring stage's bin count is
+    # data-sized — clamp(expected_pages / score_pages_per_bin, slots,
+    # score_waves * slots) — so small (quota-bounded) rounds are not sliced
+    # into slot-proportional slivers whose per-task fixed costs dominate,
+    # while at production volume the waves cap still bounds task size.
+    score_pages_per_bin: int = 1500
     # Prerequisite scheduling (PreconditionEnforcer, jar!heritrix-engine/
     # .../prefetch/PreconditionEnforcer.java:170-254): when True, robots
     # rules start UNKNOWN and are discovered during the crawl — content

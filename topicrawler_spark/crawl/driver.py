@@ -109,6 +109,9 @@ def run_crawl(
         return int(row["t"])
 
     prev_fetched_total = _fetched_total(state.host_fetched)
+    # previous round's fetched-page count — run_round's scoring-bin hint
+    # (None on the first round: the frontier-size hint stands in there)
+    last_fetched: int | None = None
     # The hint is an upper bound on frontier/seen size driving the regime
     # switches. A fresh crawl's round-1 frontier IS the seed list, so the
     # hint must start at len(seeds) — starting at 0 would classify a 10M-seed
@@ -234,6 +237,7 @@ def run_crawl(
                 spark, state, pages, scorer_bc, robots, cfg,
                 collect_metrics=collect_metrics, frontier_size_hint=frontier_hint,
                 ops=ops, host_fetched_map=host_fetched_map,
+                fetched_hint=last_fetched,
             )
             t_plan = time.time() - t0
             all_metrics.append(result.metrics)
@@ -297,8 +301,15 @@ def run_crawl(
                 # stage, then every fused-job stage scans built partitions.
                 # Metrics mode skips this: run_round's in-round counters
                 # already materialized the cache sequentially.
-                if not collect_metrics and result.score_cache is not None:
-                    result.score_cache.count()
+                if not collect_metrics:
+                    # join-mode scoring: fill the Arrow-pass cache first
+                    # (single consumer), then the perp-joined cache (its two
+                    # sibling branches then hit a built cache) — see
+                    # RoundResult.score_prefill.
+                    for _cache in result.score_prefill:
+                        _cache.count()
+                    if result.score_cache is not None:
+                        result.score_cache.count()
                 if distributed_budget:
                     # never collect the (at-scale, host-cardinality) fetch
                     # totals: materialize and cut lineage executor-side
@@ -384,6 +395,10 @@ def run_crawl(
                         f"enq={result.metrics.get('urls_discovered')} fetched={result.metrics.get('fetched')}",
                         file=sys.stderr,
                     )
+            # next round's scoring-bin hint: this round's fetched count is
+            # the best action-free predictor of next round's page volume
+            # (admission quotas move slowly round-to-round)
+            last_fetched = result.metrics.get("fetched") or last_fetched
             # running upper bound on frontier size: everything ever discovered
             enq = result.metrics.get("urls_discovered", result.metrics.get("urls_new", 0)) or 0
             last_enq = enq

@@ -177,6 +177,14 @@ class RoundResult:
     # with one dedicated job BEFORE the fused collect so every downstream
     # stage scans a fully built cache.
     score_cache: DataFrame | None = None
+    # caches `score_cache` itself depends on, in dependency order — join-mode
+    # scoring sets (with_ng,): the per-page perp chain inside `scored` scans
+    # the Arrow-pass cache from TWO sibling branches (the distinct-ngram
+    # score and the join's probe side), so `with_ng` must be built by its own
+    # single-consumer job before `scored`'s fill or the siblings race and
+    # re-run the Python pass per stolen partition. The driver counts these
+    # before `score_cache`.
+    score_prefill: tuple = ()
 
 
 def prepare_pages(pages: DataFrame, by_host: bool = False) -> DataFrame:
@@ -390,6 +398,7 @@ def run_round(
     frontier_size_hint: int | None = None,
     ops: RoundOps | None = None,
     host_fetched_map: dict[str, int] | None = None,
+    fetched_hint: int | None = None,
 ) -> tuple[CrawlState, RoundResult]:
     cfg = cfg or CrawlConfig()
     if ops is None and cfg.score_mode == "join":
@@ -638,11 +647,33 @@ def run_round(
         # thus the same Python worker) before scoring — site chrome repeats
         # per host, so the sentence/line memos only pay off if one worker
         # sees the whole host. Skew-safe: the politeness quota already caps
-        # any host's rows per round, and cfg.score_waves waves of tasks per
-        # core let stragglers (cold-memo or text-heavy hosts) amortize
-        # instead of pinning the stage on one task. On a cluster this is
-        # executor affinity for per-host state.
-        n_bins = cfg.score_waves * max(spark.sparkContext.defaultParallelism, 1)
+        # any host's rows per round, and byte-balanced bins (below) plus up
+        # to cfg.score_waves waves of tasks per core let stragglers
+        # (cold-memo or text-heavy hosts) amortize instead of pinning the
+        # stage on one task. On a cluster this is executor affinity for
+        # per-host state.
+        #
+        # Bin COUNT is sized by the expected page volume, not by slots:
+        # bins = clamp(pages_hint / score_pages_per_bin, slots, waves*slots).
+        # A quota-bounded round sliced into waves*slots bins regardless of
+        # volume makes per-task fixed costs (python worker spin-up, Arrow
+        # batch setup, per-worker memo warm-up) scale with the SLOT count —
+        # measured 2c-vs-8c at fixed input, the Arrow-pass stages burned
+        # ~1.7x the task-seconds at 4x the slots and capped crawl speedup at
+        # ~2x. At production volume the data term dominates and the waves
+        # cap sets task granularity, so the at-scale plan is unchanged.
+        slots = max(spark.sparkContext.defaultParallelism, 1)
+        pages_hint = fetched_hint if fetched_hint is not None else frontier_size_hint
+        if pages_hint is not None:
+            n_bins = max(
+                slots,
+                min(
+                    -(-int(pages_hint) // max(cfg.score_pages_per_bin, 1)),
+                    cfg.score_waves * slots,
+                ),
+            )
+        else:
+            n_bins = cfg.score_waves * slots
         if "_page_wrank" in fetched.columns:
             # Byte-balanced bins: round-robin the store's host-size rank
             # (prepare_pages' _page_wrank) across the bins, so each bin
@@ -703,6 +734,16 @@ def run_round(
         # multiplicity, aggregate per page, and join the (page-count-bounded)
         # perp table back onto the cached extraction output. The count table
         # never broadcasts to Python and the html never crosses twice.
+        # CACHE SHAPE (scaling-critical, measured at local[2] vs local[8]):
+        # the join output `scored` is rescanned by every downstream consumer
+        # (results, fetch-failure anti-join, candidate chain) — leaving it
+        # uncached re-ran the perp shuffle chain per consumer, and the racing
+        # sibling stages duplicated it in proportion to the task-slot count
+        # (~2x task-seconds at 8 cores vs 2). So: cache `with_ng` (one Arrow
+        # pass over html), cache `scored` (what everything rescans), and do
+        # NOT cache `per` — it materializes exactly once inside `scored`'s
+        # dedicated fill, after `with_ng` is already built (the driver fills
+        # the two caches in dependency order; see RoundResult.score_prefill).
         from topicrawler_spark.lm.perplexity import join_perp_column, score_pages_join
 
         with_ng = base_scored.withColumns(
@@ -721,7 +762,7 @@ def run_round(
         per = score_pages_join(
             with_ng.filter(F.col("fetch_ok") & ~is_robots).select("canon", "ngrams"),
             ops.join_score,
-        ).cache()
+        )
         per_side = F.broadcast(per) if small_round else per
         scored = (
             with_ng.join(per_side, "canon", "left")
@@ -739,7 +780,8 @@ def run_round(
             )
             .drop("ngrams", "_perp_s", "_perp_n")
         )
-        score_cached = (with_ng, per)
+        scored.cache()
+        score_cached = (with_ng, scored)
 
     results = scored.filter(F.col("fetch_ok") & ~is_robots).select(
         F.lit(round_no).alias("round"), "url", "canon", "host", "perp", "text", "hops"
@@ -1053,5 +1095,6 @@ def run_round(
         # the per-round discovery counter: the deduped candidate set, straight
         # off its cache — counting `enq` would re-run the robots UDF
         enqueued=new_unique,
-        score_cache=score_cached[0],
+        score_cache=score_cached[-1],
+        score_prefill=score_cached[:-1],
     )

@@ -428,21 +428,21 @@ def kn_join_setup(
     return stats, {"D": D, "U": N[1][0], "B": N[2][0], "S1": S[1]}
 
 
-def score_kn_join_with_stats(
-    ngrams_df: DataFrame,
-    stats: DataFrame,
-    order: int,
-    consts: dict,
-    ngram_col: str = "ngram",
-) -> DataFrame:
-    """``score_kn_join`` against a prebuilt ``kn_join_setup`` dimension."""
+def kn_join_exprs(
+    order: int, consts: dict, ngram_col: str = "ngram"
+) -> tuple[dict[str, Column], Column, list[str]]:
+    """Build the KN join keys and probability column ONCE — (join keys,
+    kn_log10 expression, helper columns to drop). Pure unresolved Column
+    trees over the fixed ``_{tag}_{col}`` names, so they are reusable across
+    any number of scoring calls/DataFrames: a crawl builds them once per
+    campaign (JoinScorer) instead of paying the ~0.5-1 s of serial py4j
+    Column construction per round that rebuilding them costs at order 3+."""
     n = order
     D, U, B, S1 = consts["D"], consts["U"], consts["B"], consts["S1"]
     ud = (1.0 / B) * (D[1] / U)
     toks = F.split(F.col(ngram_col), " ")
     keys = {f"s{j}": _suffix(toks, n, j) for j in range(1, n + 1)}
     keys.update({f"h{j}": _hist_suffix(toks, n, j) for j in range(1, n)})
-    out = _join_stats_keys(ngrams_df, stats, keys, ["cnt", "nf_tot", "np_tot", "nfp_tot"])
 
     def col0(tag: str, c: str) -> Column:
         return F.coalesce(F.col(f"_{tag}_{c}"), F.lit(0)).cast("double")
@@ -508,11 +508,27 @@ def score_kn_join_with_stats(
     for cond, val in reversed(branches):
         result = F.when(cond, val).otherwise(result)
     prob = F.least(F.greatest(result, punk), F.lit(1.0))
-    out = out.withColumn(
-        "kn_log10", F.when(F.size(toks) == n, F.log10(prob))
-    )
+    kn_log10 = F.when(F.size(toks) == n, F.log10(prob))
     added = [f"_{tag}_{c}" for tag in keys for c in ("cnt", "nf_tot", "np_tot", "nfp_tot")]
-    return out.drop(*added)
+    return keys, kn_log10, added
+
+
+def score_kn_join_with_stats(
+    ngrams_df: DataFrame,
+    stats: DataFrame,
+    order: int,
+    consts: dict,
+    ngram_col: str = "ngram",
+    exprs: tuple[dict[str, Column], Column, list[str]] | None = None,
+) -> DataFrame:
+    """``score_kn_join`` against a prebuilt ``kn_join_setup`` dimension.
+    Pass ``exprs`` (a ``kn_join_exprs`` result) to reuse the Column trees
+    across calls — the per-round path does."""
+    if exprs is None:
+        exprs = kn_join_exprs(order, consts, ngram_col)
+    keys, kn_log10, added = exprs
+    out = _join_stats_keys(ngrams_df, stats, keys, ["cnt", "nf_tot", "np_tot", "nfp_tot"])
+    return out.withColumn("kn_log10", kn_log10).drop(*added)
 
 
 def score_kn_bigram_join(

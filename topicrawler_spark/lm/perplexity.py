@@ -188,26 +188,38 @@ class JoinScorer:
     all-<unk> n-gram through the same accumulator, ModelPerplexity's
     uninitialized-field fallback included) are two tiny setup jobs."""
 
-    def __init__(self, stats, consts: dict, order: int, base: float) -> None:
+    def __init__(
+        self, stats, consts: dict, order: int, base: float, exprs=None
+    ) -> None:
         self.stats = stats
         self.consts = consts
         self.order = order
         self.base = base
+        # kn_join_exprs result, built once per campaign: rebuilding the KN
+        # when-chain Column trees is ~0.5-1 s of serial driver py4j time per
+        # scoring call — pure plan-construction latency that scales with
+        # rounds, not cores.
+        self.exprs = exprs
 
 
 def build_join_scorer(spark, lm_counts, order: int, discount: float = -1.0) -> JoinScorer:
     from pyspark.sql import functions as F  # noqa: F401
 
-    from topicrawler_spark.lm.counting import kn_join_setup, score_kn_join_with_stats
+    from topicrawler_spark.lm.counting import (
+        kn_join_exprs,
+        kn_join_setup,
+        score_kn_join_with_stats,
+    )
     from topicrawler_spark.lm.ngrams import UNKNOWN_WORD
 
     stats, consts = kn_join_setup(lm_counts, order, discount)
     stats = stats.cache()
+    exprs = kn_join_exprs(order, consts)
     unk = spark.createDataFrame([(" ".join([UNKNOWN_WORD] * order),)], "ngram string")
-    row = score_kn_join_with_stats(unk, stats, order, consts).collect()[0]
+    row = score_kn_join_with_stats(unk, stats, order, consts, exprs=exprs).collect()[0]
     lp = row["kn_log10"]
     base = math.pow(10.0, -lp) if lp is not None and math.isfinite(lp) else 0.0
-    return JoinScorer(stats, consts, order, base)
+    return JoinScorer(stats, consts, order, base, exprs=exprs)
 
 
 def score_pages_join(pages, js: JoinScorer, id_col: str = "canon", ngrams_col: str = "ngrams"):
@@ -223,9 +235,9 @@ def score_pages_join(pages, js: JoinScorer, id_col: str = "canon", ngrams_col: s
 
     expl = pages.select(F.col(id_col).alias("_pid"), F.explode(ngrams_col).alias("ngram"))
     uniq = expl.select("ngram").distinct()
-    scored = score_kn_join_with_stats(uniq, js.stats, js.order, js.consts).select(
-        "ngram", "kn_log10"
-    )
+    scored = score_kn_join_with_stats(
+        uniq, js.stats, js.order, js.consts, exprs=js.exprs
+    ).select("ngram", "kn_log10")
     return (
         expl.join(scored, "ngram")
         .groupBy("_pid")
