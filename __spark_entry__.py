@@ -40,10 +40,14 @@ def _load(
     serially, which both misrepresents the at-scale plan (a 100 TB table is
     thousands of row groups and parallelizes in the scan itself) and wastes
     all but one core. ``spread=True`` restores that parallelism with one
-    exchange of the raw rows; entries whose per-row work is heavy (text,
-    URL, embedding expressions / pandas UDFs) opt in, while pure-relational
-    aggregations skip it (the exchange would cost more than the scan-side
-    work it parallelizes). Value-neutral: no oracle compares row order, and
+    exchange of the raw rows; entries whose per-row work is heavy (text /
+    URL expression chains, per-row pandas UDFs) opt in, while
+    pure-relational aggregations AND the embeddings entries skip it — the
+    embeddings table is tiny at every test sf (2 k rows at sf0.1) and its
+    work is one vectorized matmul / JVM arithmetic, so the full-slot
+    exchange costs more than the serial scan it removes (interleaved A/B,
+    round 5: spread 0.55-0.96 s vs unspread 0.30-0.33 s for
+    embedding_topk). Value-neutral: no oracle compares row order, and
     every oracle-checked entry selects subsets by explicit key predicates,
     never by file position."""
     par = spark.sparkContext.defaultParallelism
@@ -1129,7 +1133,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.dedup import connected_components
     from topicrawler_spark.pipeline.similarity import cosine_expr
 
-    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
     edges = (
@@ -1147,7 +1151,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the first vector (exact baseline)."""
     from topicrawler_spark.pipeline.similarity import brute_force_topk
 
-    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     top = brute_force_topk(emb, q, k=10)
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
@@ -1157,7 +1161,7 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine over a small id range (exact, JVM-side arithmetic)."""
     from topicrawler_spark.pipeline.similarity import cosine_expr
 
-    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"].filter(F.col("vec_id") < 40)
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 40)
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").cast("array<double>").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").cast("array<double>").alias("vb"))
     return (
@@ -1280,7 +1284,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.similarity import ann_topk
 
-    emb = _load(spark, sf_dir, "embeddings", spread=True)["embeddings"]
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     return ann_topk(emb, q, k=10, n_tables=12, n_planes=8)
 
