@@ -82,3 +82,24 @@ def test_prepare_pages_stamps_dense_byte_rank(spark):
     }
     # b (1000) -> rank 0, a (600) -> rank 1, c (10) -> rank 2
     assert got == {"b": 0, "a": 1, "c": 2}
+
+
+def test_score_bin_count_whole_waves():
+    """Data-sized bins always land on whole waves (multiples of slots), so
+    the scoring stage never ends on a ragged wave that idles slots."""
+    from topicrawler_spark.crawl.round import score_bin_count
+
+    for slots in (2, 6, 8, 24, 32):
+        for hint in (0, 1, 499, 1500, 6000, 14441, 18266, 24615, 10**7):
+            n = score_bin_count(hint, slots, 1500, 4)
+            assert n % slots == 0, (hint, slots, n)
+            assert slots <= n <= 4 * slots
+    # no hint -> waves cap (already a slot multiple)
+    assert score_bin_count(None, 8, 1500, 4) == 32
+    # data term dominates at volume: cap reached
+    assert score_bin_count(10**7, 8, 1500, 4) == 32
+    # quota-bounded rounds collapse to one wave
+    assert score_bin_count(500, 8, 1500, 4) == 8
+    # the round-5 diagnosis cases: 10 -> 16, 17 -> 24
+    assert score_bin_count(14441, 8, 1500, 4) == 16
+    assert score_bin_count(24615, 8, 1500, 4) == 24

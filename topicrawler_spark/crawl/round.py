@@ -187,6 +187,30 @@ class RoundResult:
     score_prefill: tuple = ()
 
 
+def score_bin_count(
+    pages_hint: int | None, slots: int, per_bin: int, waves: int
+) -> int:
+    """Bins for the per-round scoring repartition: data-sized, whole waves.
+
+    ``clamp(ceil(pages_hint / per_bin) rounded UP to a multiple of slots,
+    slots, waves*slots)``. Data-sized so a quota-bounded round is not sliced
+    into slot-proportional slivers whose per-task fixed costs (python worker
+    spin-up, Arrow batch setup, memo warm-up) scale with cluster size; whole
+    waves because a ragged final wave idles the other slots for a full task
+    length — event logs at local[8]/300k pages showed the 10-bin and 17-bin
+    scoring stages packing 68%/75% (wave of 8 + wave of 2 / of 1) vs 96% for
+    the even 16-bin round, and the handful of extra tasks costs ~0.1-0.3
+    core-s each against ~15-20 idle core-s saved. Small rounds collapse to
+    one wave of ``slots``; with no hint the waves cap applies (already a
+    slot multiple). At production volume the data term dominates and the
+    at-scale plan is unchanged."""
+    if pages_hint is None:
+        return waves * slots
+    target = -(-int(pages_hint) // max(per_bin, 1))
+    target = -(-target // slots) * slots
+    return max(slots, min(target, waves * slots))
+
+
 def prepare_pages(pages: DataFrame, by_host: bool = False) -> DataFrame:
     """One-time page-store preparation: key the content by *canonical* URL.
 
@@ -664,16 +688,9 @@ def run_round(
         # cap sets task granularity, so the at-scale plan is unchanged.
         slots = max(spark.sparkContext.defaultParallelism, 1)
         pages_hint = fetched_hint if fetched_hint is not None else frontier_size_hint
-        if pages_hint is not None:
-            n_bins = max(
-                slots,
-                min(
-                    -(-int(pages_hint) // max(cfg.score_pages_per_bin, 1)),
-                    cfg.score_waves * slots,
-                ),
-            )
-        else:
-            n_bins = cfg.score_waves * slots
+        n_bins = score_bin_count(
+            pages_hint, slots, cfg.score_pages_per_bin, cfg.score_waves
+        )
         if "_page_wrank" in fetched.columns:
             # Byte-balanced bins: round-robin the store's host-size rank
             # (prepare_pages' _page_wrank) across the bins, so each bin
