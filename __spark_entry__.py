@@ -1289,6 +1289,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, q, k=10, n_tables=12, n_planes=8)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: spherical-k-means coarse quantizer (trained on
+    a bounded deterministic sample), one Arrow assignment pass, probe the 3
+    nearest inverted lists, exact cosine re-rank inside. The FAISS-style
+    scale path beside the LSH one: the index is one corpus pass + a
+    list_id-partitionable table, a query touches n_probe/n_centroids of the
+    data. Approximate by construction -> rows-only (no DuckDB twin); the
+    pytest guarantee proves recall and that probing all lists reproduces the
+    exact answer (tests/test_pipeline.py::test_ivf_recall_and_determinism)."""
+    from topicrawler_spark.pipeline.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=3, seed=42)
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topicrawler_spark.pipeline.textstats import make_langid_udf
 
@@ -1565,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "langid": q_langid,
         "winnowing": q_winnowing,
         "extract_text": q_extract_text,

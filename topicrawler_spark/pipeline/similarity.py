@@ -5,6 +5,10 @@
   both provided, numpy is the fast path for wide vectors.
 - LSH-bucketed ANN: random-hyperplane signatures -> bucket join; the scale
   path (candidates share >= 1 of n_tables signatures; exact cosine re-rank).
+- IVF-bucketed ANN: spherical k-means coarse quantizer trained on a bounded
+  deterministic sample, one vectorized Arrow assignment pass over the
+  corpus, probe-nearest-lists semi-join, exact cosine re-rank (the
+  FAISS-style inverted-file pattern re-expressed as DataFrame ops).
 """
 
 from __future__ import annotations
@@ -170,3 +174,130 @@ def all_pairs_topk(
         .filter(F.col("rank") <= k)
         .select("a", "b", "cosine", "rank")
     )
+
+
+def _ivf_sample(
+    embeddings: DataFrame, id_col: str, vec_col: str, sample_cap: int
+) -> np.ndarray:
+    """Deterministic bounded training sample for the coarse quantizer.
+
+    Hash-gated (xxhash64 pmod), never a global sort: the same rows are
+    chosen at any partitioning and the collected matrix is bounded by
+    ``sample_cap`` rows regardless of corpus size — the standard IVF
+    training regime (FAISS trains its quantizer on a sample too; only the
+    centroid table, n_centroids x dim, ever lives on the driver)."""
+    n = embeddings.count()
+    if n > sample_cap:
+        # keep-one-in-m hash gate (expected ~sample_cap survivors), then a
+        # deterministic id-ordered cap — the sort runs over the already
+        # gated ~sample_cap rows, never the corpus
+        m = max(2, n // sample_cap)
+        sample = (
+            embeddings.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+            .orderBy(id_col)
+            .limit(sample_cap)
+        )
+    else:
+        sample = embeddings
+    rows = sample.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).collect()
+    rows.sort(key=lambda r: r["_id"])  # collect order is not deterministic; id order is
+    return np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd on L2-normalized vectors, cosine metric)
+    over a bounded deterministic sample. Returns (n_centroids, dim),
+    rows L2-normalized. Deterministic for a given (input, seed)."""
+    mat = _ivf_sample(embeddings, id_col, vec_col, sample_cap)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    k = min(n_centroids, len(unit))
+    rng = np.random.default_rng(seed)
+    cent = unit[rng.choice(len(unit), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(unit @ cent.T, axis=1)  # cosine == dot on unit rows
+        for c in range(k):
+            members = unit[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+            else:
+                # re-seed an empty list from the point farthest from its centroid
+                far = int(np.argmin((unit * cent[assign]).sum(axis=1)))
+                cent[c] = unit[far]
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id) inverted-file assignment: nearest centroid by cosine,
+    one batch matmul per Arrow batch. At corpus scale this is the one full
+    pass that builds the IVF index; it writes a list_id-partitionable
+    table, so probes touch only n_probe/n_centroids of the data."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((m / n) @ cent.T, axis=1).astype(np.int32))
+
+    return embeddings.select(
+        F.col(id_col), nearest(F.col(vec_col)).alias("list_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids against the query driver-side
+    (n_centroids dot products), semi-join the n_probe nearest lists, exact
+    cosine re-rank inside. Pass precomputed ``centroids``/``assignments``
+    to amortize the index across queries (the at-scale deployment shape —
+    the index is built once per corpus snapshot, queries only pay the
+    probed fraction)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, n_iters, seed, id_col, vec_col
+        )
+    if assignments is None:
+        assignments = ivf_assign(embeddings, centroids, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        qn = 1.0
+    order = np.argsort(-(centroids @ (q / qn)), kind="stable")
+    probe = [int(c) for c in order[: min(n_probe, len(centroids))]]
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame([(c,) for c in probe], "list_id int")
+    cand_ids = assignments.join(
+        F.broadcast(probe_df), "list_id", "left_semi"
+    ).select(id_col)
+    cands = embeddings.join(cand_ids, id_col, "left_semi")
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col)
