@@ -1391,6 +1391,37 @@ def q_crawl_round_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.state.frontier.select("canon", "host", "directive", "precedence", "hops")
 
 
+def q_crawl_round_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two join-scored crawl rounds with the incremental topic-LM refresh
+    (cfg.lm_refresh_every=1): after round 1, the focused pages' n-gram
+    counts are summed into the count table (extend_lm_counts — one union +
+    hash aggregate) and the KN join scorer is rebuilt, so round 2 scores
+    against the grown LM. Rows-only check (multi-round stateful); the
+    refresh guarantees — extend==recount exactness, no-op parity with the
+    static LM, checkpoint commit + resume preference — are pytest-asserted
+    in tests/test_incremental_lm.py."""
+    from topicrawler_spark.crawl.config import CrawlConfig
+    from topicrawler_spark.crawl.driver import run_crawl
+    from topicrawler_spark.datagen import generate_corpus, pages_dataframe, topic_corpus
+    from topicrawler_spark.lm.local import LocalLM
+    from topicrawler_spark.lm.perplexity import DocumentScorer
+
+    corpus = generate_corpus(n_pages=60, n_hosts=5, n_seeds=2, seed=42)
+    lm = LocalLM.from_texts([topic_corpus(42)], order=3)
+    scorer = DocumentScorer(lm, "kneser-ney")
+    cfg = CrawlConfig(
+        order=3, per_host_quota=3, max_hops=10, score_mode="join",
+        lm_refresh_every=1,
+    )
+    lm_counts = spark.createDataFrame(
+        [(g, len(g.split(" ")), c) for g, c in lm.counts.items()],
+        "ngram string, n int, cnt long",
+    )
+    pages = pages_dataframe(spark, corpus)
+    run = run_crawl(spark, pages, corpus.seeds, scorer, 2, cfg, lm_counts=lm_counts)
+    return run.state.frontier.select("canon", "host", "directive", "precedence", "hops")
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel statistics over REAL PNG blobs: deterministic per-document PNGs
     are generated executor-side (stdlib encoder), then decoded by the
@@ -1588,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": q_doc_perplexity,
         "crawl_round": q_crawl_round,
         "crawl_round_join": q_crawl_round_join,
+        "crawl_round_incremental": q_crawl_round_incremental,
         "image_features": q_image_features,
         "audio_energy": q_audio_energy,
         "sample_video_frames": q_sample_video_frames,

@@ -48,10 +48,14 @@ class CheckpointStore:
         state: CrawlState,
         result: RoundResult | None,
         seen_delta: DataFrame | None = None,
+        lm_counts: DataFrame | None = None,
     ) -> None:
         """``seen_delta`` overrides the segment written for a result-less
         commit (injection rounds append only their additions; the round-0
-        default of the full seen set would duplicate earlier segments)."""
+        default of the full seen set would duplicate earlier segments).
+        ``lm_counts`` commits a refreshed topic-LM count table atomically
+        with the round (incremental-LM mode writes it only on refresh
+        rounds; ``latest_lm_counts`` walks back to the newest one)."""
         r = state.round_no
         for name, df in (
             ("frontier", state.frontier),
@@ -87,6 +91,9 @@ class CheckpointStore:
             # small enough that a per-round rewrite is the simpler commit)
             state.robots.write.mode("overwrite").parquet(self._dir(r, "robots"))
             manifest["tables"].append("robots")
+        if lm_counts is not None:
+            lm_counts.write.mode("overwrite").parquet(self._dir(r, "lm_counts"))
+            manifest["tables"].append("lm_counts")
         if result is not None:
             result.results.write.mode("overwrite").parquet(self._dir(r, "results"))
             result.fetch_log.write.mode("overwrite").parquet(self._dir(r, "fetch_log"))
@@ -161,6 +168,21 @@ class CheckpointStore:
             robots,
             bloom_params,
         )
+
+    def latest_lm_counts(self, spark: SparkSession) -> DataFrame | None:
+        """Newest committed refreshed topic-LM count table, or None. Only
+        refresh rounds write one, so walk back from the last committed round
+        to the most recent segment (each write is the FULL merged table —
+        counts don't decompose into per-round appends the way the seen set
+        does, because a refresh re-sums overlapping ngram keys)."""
+        r = self.last_committed_round()
+        if r is None:
+            return None
+        for i in range(r, -1, -1):
+            d = self._dir(i, "lm_counts")
+            if os.path.isdir(d):
+                return spark.read.parquet(d)
+        return None
 
     def read(self, spark: SparkSession, round_no: int, table: str) -> DataFrame:
         return spark.read.parquet(self._dir(round_no, table))

@@ -120,6 +120,21 @@ class CrawlConfig:
     # active per round; None = all hosts active
     max_active_hosts: int | None = None
     precedence_floor: int = 255  # queues at/above this precedence never activate
+    # Incremental topic-LM refresh (join scoring only): every
+    # lm_refresh_every COMPLETED rounds, the n-gram counts of that round's
+    # focused pages (perp in (0, lm_refresh_max_perp]; None = every scored
+    # page with non-empty text) are summed into the count table through the
+    # same counting pipeline (extend_lm_counts), and the KN join scorer —
+    # stats dimension, discounts, histogram constants, base perplexity — is
+    # rebuilt from the refreshed table for subsequent rounds. None (default)
+    # = static topic LM, the reference behavior. Requires score_mode='join':
+    # the broadcast LocalLM is the documented driver-bounded path and is not
+    # refreshed. With a checkpoint store the refreshed table is committed
+    # with the round (atomic with the manifest) and resume prefers the
+    # newest persisted table over the caller-provided one.
+    lm_refresh_every: int | None = None
+    lm_refresh_max_perp: float | None = None
+    lm_refresh_mincount: int = 1
     hygiene_filters: bool = True  # pathological-path / too-many-segments rules
     surt_prefixes: tuple[str, ...] | None = None  # seeds-as-SURT-prefixes scope
     max_domains: int | None = None  # TooManyDomainsDecideRule (declarative)

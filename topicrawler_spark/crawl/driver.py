@@ -46,6 +46,11 @@ def run_crawl(
     cfg = cfg or CrawlConfig()
     if cfg.score_mode == "join" and lm_counts is None:
         raise ValueError("score_mode='join' requires the lm_counts DataFrame")
+    if cfg.lm_refresh_every is not None and cfg.score_mode != "join":
+        raise ValueError(
+            "lm_refresh_every requires score_mode='join' (the broadcast "
+            "LocalLM is the driver-bounded path and is not refreshed)"
+        )
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
 
     state: CrawlState | None = None
@@ -75,7 +80,16 @@ def run_crawl(
         # + histogram constants + base perplexity — two tiny driver jobs
         from topicrawler_spark.lm.perplexity import build_join_scorer
 
+        if store is not None and cfg.lm_refresh_every is not None:
+            # resume with incremental LM: the newest committed refreshed
+            # table supersedes the caller's seed-time counts — otherwise a
+            # resumed crawl would silently score against the stale LM the
+            # pre-crash rounds had already grown past
+            persisted = store.latest_lm_counts(spark)
+            if persisted is not None:
+                lm_counts = persisted
         join_scorer = build_join_scorer(spark, lm_counts, cfg.order)
+    lm_counts_cur = lm_counts
 
     # localCheckpoint: materialize AND flatten the logical plan to a leaf —
     # otherwise every round's analysis re-walks the canonicalization tree
@@ -252,6 +266,39 @@ def run_crawl(
             seen_extra_rows = (
                 result.seen_extra.count() if result.seen_extra is not None else 0
             )
+            # Incremental topic-LM refresh: fold this round's focused pages
+            # into the count table (one union + hash aggregate — scales with
+            # the round's pages, not the accumulated table). The rebuilt
+            # scorer takes effect from the NEXT round; the refresh itself is
+            # committed with this round (store mode) or checkpointed eagerly
+            # while this round's caches are still registered (memory mode).
+            lm_refreshed = None
+            if (
+                join_scorer is not None
+                and cfg.lm_refresh_every
+                and state.round_no % cfg.lm_refresh_every == 0
+            ):
+                from topicrawler_spark.lm.counting import extend_lm_counts
+
+                focused = result.results.filter(
+                    F.col("text").isNotNull()
+                    & (F.col("text") != "")
+                    & (F.col("perp") > 0)
+                )
+                if cfg.lm_refresh_max_perp is not None:
+                    focused = focused.filter(F.col("perp") <= cfg.lm_refresh_max_perp)
+                lm_refreshed = extend_lm_counts(
+                    lm_counts_cur,
+                    focused.select("text"),
+                    cfg.order,
+                    mincount=cfg.lm_refresh_mincount,
+                    language_code=cfg.language_code,
+                )
+                if store is None:
+                    # materialize now (the plan scans this round's caches,
+                    # which the background committer will unpersist) and cut
+                    # the per-refresh lineage growth to a leaf
+                    lm_refreshed = lm_refreshed.localCheckpoint(eager=True)
             if store is not None:
                 # backfill the throughput counters BEFORE commit so the
                 # persisted manifest carries them (bench mode leaves
@@ -267,10 +314,13 @@ def run_crawl(
                 total_fetched = _fetched_total(state.host_fetched)
                 result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
                 prev_fetched_total = total_fetched
-                store.commit_round(state, result)
+                store.commit_round(state, result, lm_counts=lm_refreshed)
                 # re-read committed state: cuts the lazy lineage chain and makes
                 # the carried state exactly the committed bytes
                 state = store.resume(spark)
+                if lm_refreshed is not None:
+                    # same re-read discipline for the refreshed count table
+                    lm_refreshed = store.read(spark, state.round_no, "lm_counts")
                 for df in result.cached:
                     df.unpersist()
             else:
@@ -395,6 +445,22 @@ def run_crawl(
                         f"enq={result.metrics.get('urls_discovered')} fetched={result.metrics.get('fetched')}",
                         file=sys.stderr,
                     )
+            if lm_refreshed is not None:
+                # rebuild the scoring campaign from the refreshed table:
+                # stats dimension + discounts/histogram constants + base
+                # perplexity (two tiny driver jobs), then the round ops so
+                # every subsequent round scores against the grown LM. Join
+                # the background committer first — the setup runs foreground
+                # actions and must not race the commit's cache rescans.
+                from topicrawler_spark.lm.perplexity import build_join_scorer
+
+                _join_bg()
+                old_stats = join_scorer.stats if join_scorer is not None else None
+                lm_counts_cur = lm_refreshed
+                join_scorer = build_join_scorer(spark, lm_counts_cur, cfg.order)
+                if old_stats is not None:
+                    old_stats.unpersist()
+                ops = build_round_ops(cfg, scorer_bc, robots, join_scorer=join_scorer)
             # next round's scoring-bin hint: this round's fetched count is
             # the best action-free predictor of next round's page volume
             # (admission quotas move slowly round-to-round)

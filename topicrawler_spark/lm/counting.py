@@ -73,6 +73,44 @@ def count_ngrams(
     return counted.select("ngram", "n", "cnt")
 
 
+def extend_lm_counts(
+    base_counts: DataFrame,
+    new_text_df: DataFrame,
+    order: int,
+    mincount: int = 1,
+    language_code: str = "default",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally grow a raw ``(ngram, n, cnt)`` count table with the
+    n-gram counts of new text: the new documents run through the SAME
+    counting pipeline (``sentences_tokens`` -> ``count_ngrams``), then the
+    two tables are summed by ngram — one union + one hash aggregate, no
+    driver-side state, so the refresh scales with the new text, not the
+    accumulated table.
+
+    Exact by construction when ``base_counts`` was built with mincount=1:
+    extending equals recounting the concatenated corpus (same tokenizer,
+    same windows, ``mincount`` applied AFTER the merge). A base table
+    already pruned at mincount>1 has lost its sub-threshold grams, so the
+    extension is then the best reachable approximation of a full recount —
+    matching the reference's own behavior of extending a *persisted*
+    (post-prune) count table. Every derived stat (continuation tables, KN
+    discounts, histogram) is a function of this table and is rebuilt by the
+    consumer (``build_join_scorer``)."""
+    new_counts = count_ngrams(
+        sentences_tokens(new_text_df, text_col, language_code), order, mincount=1
+    )
+    merged = (
+        base_counts.select("ngram", "n", "cnt")
+        .unionByName(new_counts)
+        .groupBy("ngram", "n")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    if mincount > 1:
+        merged = merged.filter(F.col("cnt") >= mincount)
+    return merged.select("ngram", "n", "cnt")
+
+
 def _continuation(counts: DataFrame, key: Column, prefix: str) -> DataFrame:
     """The nfollow/nprecede/nfollowerprecede reducer as one groupBy."""
     return (
