@@ -199,3 +199,27 @@ def test_distributed_budget_matches_driver_fast_path(spark, corpus, scorer, cfg)
     assert [m.get("fetched") for m in fast.metrics] == [
         m.get("fetched") for m in dist.metrics
     ]
+
+
+def test_seen_segment_compaction_matches_full_checkpoint(spark, corpus, scorer, cfg):
+    """Memory-mode seen checkpointing writes per-round SEGMENTS and carries
+    the set as a union of leaves, compacting every N rounds. Forcing
+    compaction every round (the old full-copy behavior) and never compacting
+    (pure segment unions) must both produce the exact same seen set and
+    frontier — the checkpoint strategy is invisible to crawl semantics."""
+    from dataclasses import replace
+
+    pages = pages_dataframe(spark, corpus)
+    seg = run_crawl(spark, pages, corpus.seeds, scorer, 4,
+                    replace(cfg, seen_compact_every=100))
+    cmp_ = run_crawl(spark, pages, corpus.seeds, scorer, 4,
+                     replace(cfg, seen_compact_every=1))
+    assert {r["url_hash"] for r in seg.state.seen.collect()} == {
+        r["url_hash"] for r in cmp_.state.seen.collect()
+    }
+    key = lambda x: (x["canon"], x["directive"], x["precedence"], x["ord_r"], x["ord_k"])
+    assert sorted(map(key, seg.state.frontier.collect())) == sorted(
+        map(key, cmp_.state.frontier.collect())
+    )
+    # no duplicate rows may accumulate across segment unions
+    assert seg.state.seen.count() == seg.state.seen.select("url_hash").distinct().count()

@@ -47,6 +47,13 @@ class CrawlConfig:
     # above this seen-set size the per-round driver collect+rebroadcast of
     # the seen set costs more (serially!) than a parallel shuffle anti-join
     seen_broadcast_max: int = 50_000
+    # memory-mode seen checkpoints are per-round SEGMENTS (only the new rows
+    # materialize; the carried set is a union of leaves — the in-memory twin
+    # of the store's append-only segments). Every N rounds the union is
+    # compacted to one leaf so plan width and leaf-count stay bounded over a
+    # long crawl. N trades one full-set copy every N rounds against a
+    # N-leaf-wide union plan in every scan between compactions.
+    seen_compact_every: int = 32
     # below this round size the ordinal rank runs as one global window
     # (a single reducer over small rows — trivial up to a few hundred
     # thousand); above it the lazy two-phase distributed rank takes over

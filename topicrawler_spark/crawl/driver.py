@@ -150,6 +150,8 @@ def run_crawl(
     bg_thread: threading.Thread | None = None
     bg_error: list[BaseException] = []
     t_wait = 0.0
+    # rounds since the seen union was last compacted to a single leaf
+    seen_seg_rounds = 0
 
     def _join_bg() -> None:
         nonlocal bg_thread, t_wait
@@ -247,6 +249,9 @@ def run_crawl(
                 # run_round, so the overlap only exists there)
                 _join_bg()
             t0 = time.time()
+            # the pre-round seen set: a union of materialized leaves that the
+            # post-round segment checkpoint extends without re-copying it
+            prev_seen = state.seen
             state, result = run_round(
                 spark, state, pages, scorer_bc, robots, cfg,
                 collect_metrics=collect_metrics, frontier_size_hint=frontier_hint,
@@ -380,7 +385,10 @@ def run_crawl(
                             .agg(F.count(F.lit(1)).alias("fetched"))
                             .select(F.lit("~enq").alias("host"), "fetched")
                         )
-                    rows = hf.collect()
+                    # threshold-gated small table: one task instead of a
+                    # shuffle-partition fan of micro-tasks (launch latency is
+                    # per-round driver time that does not shrink with cores)
+                    rows = hf.coalesce(1).collect()
                     host_rows = [
                         (r["host"], r["fetched"]) for r in rows if r["host"] != "~enq"
                     ]
@@ -398,12 +406,29 @@ def run_crawl(
                 result.metrics.setdefault("fetched", total_fetched - prev_fetched_total)
                 prev_fetched_total = total_fetched
                 t_exec = time.time() - t0
-                # lazy localCheckpoints: flatten the frontier's plan and the
-                # growing union chain of the seen set to leaves; the background
-                # committer materializes both (the bloom's cogroup chain stays
-                # lazy — it materializes inside the next round's probe).
+                # lazy localCheckpoints: flatten the frontier's plan to a
+                # leaf; the background committer materializes it (the bloom's
+                # cogroup chain stays lazy — it materializes inside the next
+                # round's probe).
                 frontier = state.frontier.localCheckpoint(eager=False)
-                seen = state.seen.localCheckpoint(eager=False)
+                # Seen set: checkpoint ONLY this round's segment and carry
+                # the set as a union of already-materialized leaves — the
+                # in-memory twin of the store's append-only segments.
+                # Checkpointing state.seen itself would re-copy the ENTIRE
+                # accumulated set every round (O(rounds x |seen|) write
+                # volume, all of it non-scaling background work). Every
+                # cfg.seen_compact_every rounds the union compacts to one
+                # leaf so plan width stays bounded over a long crawl.
+                seen_seg_rounds += 1
+                if (
+                    result.seen_segment is not None
+                    and seen_seg_rounds < cfg.seen_compact_every
+                ):
+                    seen_commit = result.seen_segment.localCheckpoint(eager=False)
+                    seen = prev_seen.unionByName(seen_commit)
+                else:
+                    seen = seen_commit = state.seen.localCheckpoint(eager=False)
+                    seen_seg_rounds = 0
                 bloom = (
                     state.bloom.localCheckpoint(eager=False)
                     if state.bloom is not None
@@ -416,10 +441,10 @@ def run_crawl(
                 )
                 caches = tuple(result.cached)
 
-                def _commit(fr=frontier, sn=seen, caches=caches) -> None:
+                def _commit(fr=frontier, sn=seen_commit, caches=caches) -> None:
                     try:
                         fr.count()  # materializes the lazy checkpoint
-                        sn.count()
+                        sn.count()  # the seen SEGMENT (or the compacted set)
                         # once frontier+seen are checkpointed leaves nothing
                         # references this round's caches — including
                         # new_unique, which only the (now-written) seen

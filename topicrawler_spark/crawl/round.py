@@ -185,6 +185,15 @@ class RoundResult:
     # re-run the Python pass per stolen partition. The driver counts these
     # before `score_cache`.
     score_prefill: tuple = ()
+    # this round's (url_hash, canon) additions to the seen set — the SEGMENT
+    # whose union with the prior seen set IS the new state's seen. Memory
+    # mode checkpoints only this (the prior set is already a union of
+    # materialized leaves): re-checkpointing the full union every round
+    # copies the ENTIRE seen set per round — O(rounds * |seen|) write volume
+    # over a crawl, and the copy is pure non-scaling overhead in every
+    # round's background commit. Matches the store's append-only seen
+    # segments (checkpoint.py).
+    seen_segment: DataFrame | None = None
 
 
 def score_bin_count(
@@ -1105,6 +1114,9 @@ def run_round(
         state.bloom_params,
     )
     prereq_cached = ((prereqs,) if prereq_mode else ()) + prereq_zip_cached
+    seen_segment = new_unique.select("url_hash", "canon")
+    if prereq_mode:
+        seen_segment = seen_segment.unionByName(prereqs.select("url_hash", "canon"))
     return new_state, RoundResult(
         fetch_log, results, metrics, partition_metrics,
         seen_extra=prereqs.select("url_hash", "canon") if prereq_mode else None,
@@ -1114,4 +1126,5 @@ def run_round(
         enqueued=new_unique,
         score_cache=score_cached[-1],
         score_prefill=score_cached[:-1],
+        seen_segment=seen_segment,
     )
