@@ -322,3 +322,39 @@ def test_doc_perplexity_kn_order_matches_local_lm(spark, order):
         n, p = got[doc_id]
         assert n == len(ngrams), doc_id
         assert p == pytest.approx(perp, abs=2e-4), (doc_id, p, perp)
+
+
+@pytest.mark.parametrize("order", [2, 3, 5])
+def test_pivot_join_path_matches_join_per_key(spark, order):
+    """The single-exchange explode/join/pivot stats lookup
+    (``_join_stats_keys_pivot``, used by the per-round distinct-ngram
+    scoring path) must produce the exact kn_log10 of the join-per-key form
+    on the same candidates — including OOV, pruned, and rotated ngrams."""
+    from topicrawler_spark.lm.counting import (
+        count_ngrams,
+        kn_join_setup,
+        score_kn_join_with_stats,
+    )
+
+    seqs = [t.split() for t in TEXTS * 2] + [
+        "the cat sat on the mat quietly while dogs bark".split(),
+        "a bird and a cat sat on a log".split(),
+    ]
+    sentences = spark.createDataFrame([(s,) for s in seqs], "tokens array<string>")
+    counts = count_ngrams(sentences, order=order, mincount=1).cache()
+    stats, consts = kn_join_setup(counts, order)
+    cand = _order_n_candidates(spark, seqs, order)
+    legacy = {
+        r["ngram"]: r["kn_log10"]
+        for r in score_kn_join_with_stats(cand, stats, order, consts).collect()
+    }
+    pivot = {
+        r["ngram"]: r["kn_log10"]
+        for r in score_kn_join_with_stats(
+            cand, stats, order, consts, unique_input=True
+        ).collect()
+    }
+    assert len(pivot) == len(legacy) > 20
+    for g, v in legacy.items():
+        assert pivot[g] == pytest.approx(v, rel=1e-12, abs=1e-300), g
+    counts.unpersist()

@@ -370,6 +370,49 @@ def _join_stats_keys(
     return out
 
 
+def _join_stats_keys_pivot(
+    ngrams_df: DataFrame,
+    stats: DataFrame,
+    keys: dict[str, Column],
+    cols: list[str],
+    ngram_col: str = "ngram",
+) -> DataFrame:
+    """Single-exchange twin of ``_join_stats_keys`` for inputs whose
+    ``ngram_col`` values are UNIQUE (the per-round distinct-ngram scoring
+    path): posexplode the 2n-1 key expressions into (row, key-index) pairs,
+    left-join the stats dimension ONCE, and pivot the hits back to one wide
+    row per input ngram via a hash aggregate.
+
+    Why: the join-per-key form exchanges (or broadcast-builds) the stats
+    table once PER KEY — 2n-1 exchanges of the BIG side per scoring call,
+    none reused because each join aliases the dimension differently. This
+    form exchanges stats once and trades the rest for one shuffle of the
+    exploded probe rows ((2n-1)x the distinct-ngram count, 4 stat columns
+    wide) plus one map-side-combinable groupBy — the side that scales with
+    the corpus crosses the wire once. Measured at local[2]-vs-local[8] this
+    also removes the concurrent broadcast-build pile-up that inflated
+    join-mode task-seconds with slot count.
+
+    Input rows beyond ``ngram_col`` are NOT carried (callers on the distinct
+    path have none); duplicate ngram values would collapse — callers must
+    guarantee uniqueness."""
+    tags = list(keys)
+    tagged = ngrams_df.select(
+        F.col(ngram_col).alias("_pg"),
+        F.posexplode(F.array(*[keys[t] for t in tags])).alias("_ki", "_key"),
+    )
+    dim = stats.select(
+        F.col("ngram").alias("_key"), *[F.col(c).alias(f"_st_{c}") for c in cols]
+    )
+    hits = tagged.join(dim, "_key", "left")
+    aggs = [
+        F.max(F.when(F.col("_ki") == i, F.col(f"_st_{c}"))).alias(f"_{t}_{c}")
+        for i, t in enumerate(tags)
+        for c in cols
+    ]
+    return hits.groupBy("_pg").agg(*aggs).withColumnRenamed("_pg", ngram_col)
+
+
 def score_stupid_backoff_join(
     ngrams_df: DataFrame,
     lm_counts: DataFrame,
@@ -558,14 +601,23 @@ def score_kn_join_with_stats(
     consts: dict,
     ngram_col: str = "ngram",
     exprs: tuple[dict[str, Column], Column, list[str]] | None = None,
+    unique_input: bool = False,
 ) -> DataFrame:
     """``score_kn_join`` against a prebuilt ``kn_join_setup`` dimension.
     Pass ``exprs`` (a ``kn_join_exprs`` result) to reuse the Column trees
-    across calls — the per-round path does."""
+    across calls — the per-round path does. ``unique_input=True`` (input is
+    a single-column DataFrame of DISTINCT ngrams — the per-round scoring
+    path) routes through the single-exchange explode/join/pivot form
+    (``_join_stats_keys_pivot``) instead of 2n-1 stats joins; results are
+    identical (parity-tested)."""
     if exprs is None:
         exprs = kn_join_exprs(order, consts, ngram_col)
     keys, kn_log10, added = exprs
-    out = _join_stats_keys(ngrams_df, stats, keys, ["cnt", "nf_tot", "np_tot", "nfp_tot"])
+    stat_cols = ["cnt", "nf_tot", "np_tot", "nfp_tot"]
+    if unique_input:
+        out = _join_stats_keys_pivot(ngrams_df, stats, keys, stat_cols, ngram_col)
+    else:
+        out = _join_stats_keys(ngrams_df, stats, keys, stat_cols)
     return out.withColumn("kn_log10", kn_log10).drop(*added)
 
 

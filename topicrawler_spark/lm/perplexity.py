@@ -189,7 +189,8 @@ class JoinScorer:
     uninitialized-field fallback included) are two tiny setup jobs."""
 
     def __init__(
-        self, stats, consts: dict, order: int, base: float, exprs=None
+        self, stats, consts: dict, order: int, base: float, exprs=None,
+        pivot: bool = False,
     ) -> None:
         self.stats = stats
         self.consts = consts
@@ -200,9 +201,23 @@ class JoinScorer:
         # scoring call — pure plan-construction latency that scales with
         # rounds, not cores.
         self.exprs = exprs
+        # stats-lookup regime (set by build_join_scorer from the dimension's
+        # row count): False = 2n-1 broadcast-hash joins of the stats table
+        # per scoring call (one codegen stage, zero extra shuffles — fastest
+        # while stats fits the broadcast threshold); True = the
+        # explode/join/pivot form (``_join_stats_keys_pivot``) that
+        # exchanges the stats table ONCE per call instead of 2n-1 times —
+        # the corpus-scale shape once the topic LM outgrows a broadcast.
+        self.pivot = pivot
 
 
-def build_join_scorer(spark, lm_counts, order: int, discount: float = -1.0) -> JoinScorer:
+def build_join_scorer(
+    spark, lm_counts, order: int, discount: float = -1.0,
+    pivot_min_stats: int | None = None,
+) -> JoinScorer:
+    """``pivot_min_stats``: stats-dimension row count above which scoring
+    uses the single-exchange pivot lookup (default ~broadcast-threshold
+    rows); pass 0 to force it, a huge value to force the join-per-key form."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from topicrawler_spark.lm.counting import (
@@ -214,12 +229,22 @@ def build_join_scorer(spark, lm_counts, order: int, discount: float = -1.0) -> J
 
     stats, consts = kn_join_setup(lm_counts, order, discount)
     stats = stats.cache()
+    # one count on the (cached, campaign-lifetime) dimension: sizes the
+    # lookup regime, and doubles as the cache prefill so the first round
+    # never races an unfilled stats cache across its join branches
+    n_stats = stats.count()
+    if pivot_min_stats is None:
+        # ~10 MB broadcast threshold / ~100 B per stats row
+        pivot_min_stats = 100_000
+    pivot = n_stats >= pivot_min_stats
     exprs = kn_join_exprs(order, consts)
     unk = spark.createDataFrame([(" ".join([UNKNOWN_WORD] * order),)], "ngram string")
-    row = score_kn_join_with_stats(unk, stats, order, consts, exprs=exprs).collect()[0]
+    row = score_kn_join_with_stats(
+        unk, stats, order, consts, exprs=exprs, unique_input=pivot
+    ).collect()[0]
     lp = row["kn_log10"]
     base = math.pow(10.0, -lp) if lp is not None and math.isfinite(lp) else 0.0
-    return JoinScorer(stats, consts, order, base, exprs=exprs)
+    return JoinScorer(stats, consts, order, base, exprs=exprs, pivot=pivot)
 
 
 def score_pages_join(pages, js: JoinScorer, id_col: str = "canon", ngrams_col: str = "ngrams"):
@@ -236,7 +261,7 @@ def score_pages_join(pages, js: JoinScorer, id_col: str = "canon", ngrams_col: s
     expl = pages.select(F.col(id_col).alias("_pid"), F.explode(ngrams_col).alias("ngram"))
     uniq = expl.select("ngram").distinct()
     scored = score_kn_join_with_stats(
-        uniq, js.stats, js.order, js.consts, exprs=js.exprs
+        uniq, js.stats, js.order, js.consts, exprs=js.exprs, unique_input=js.pivot
     ).select("ngram", "kn_log10")
     return (
         expl.join(scored, "ngram")
