@@ -255,3 +255,42 @@ def test_scoring_stage_is_host_partitioned(spark):
     assert "ArrowEvalPython" in plan  # the scoring stage
     # the exchange feeding it partitions by host
     assert "hashpartitioning(host" in plan
+
+
+def test_pivot_stats_lookup_scans_dimension_once(spark):
+    """The corpus-scale stats lookup (explode/join/pivot) must reference the
+    stats dimension ONCE in the physical plan; the broadcast-size form pays
+    2n-1 separate joins (and therefore 2n-1 scans of the dimension). This is
+    the at-scale contract: the table that grows with the corpus crosses the
+    wire once per scoring call."""
+    from pyspark.sql import functions as F
+
+    from topicrawler_spark.lm.counting import (
+        count_ngrams,
+        kn_join_setup,
+        score_kn_join_with_stats,
+    )
+
+    order = 3
+    sents = spark.createDataFrame(
+        [(t.split(),) for t in ["the cat sat on the mat", "a cat and a dog"] * 3],
+        "tokens array<string>",
+    )
+    counts = count_ngrams(sents, order=order)
+    stats, consts = kn_join_setup(counts, order)
+    # parquet-backed dimension so scans are countable in the plan
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    stats.write.mode("overwrite").parquet(d + "/stats")
+    stats_pq = spark.read.parquet(d + "/stats")
+    cand = counts.filter(F.col("n") == order).select("ngram")
+
+    legacy = score_kn_join_with_stats(cand, stats_pq, order, consts)
+    pivot = score_kn_join_with_stats(
+        cand, stats_pq, order, consts, unique_input=True
+    )
+    n_scans_legacy = _plan(legacy).count(d + "/stats")
+    n_scans_pivot = _plan(pivot).count(d + "/stats")
+    assert n_scans_legacy == 2 * order - 1
+    assert n_scans_pivot == 1
