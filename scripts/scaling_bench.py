@@ -201,6 +201,22 @@ Same deterministic input and rounds as the broadcast battery; scoring runs
 as count-table joins (`cfg.score_mode='join'`) — no driver-held LM, so the
 path that survives a topic LM too large to broadcast. Results are
 parity-tested identical to broadcast scoring (tests/test_join_crawl.py).
+
+Residue attribution (measured round 5, 100k pages, event-logged): the
+join-vs-broadcast extra cost per crawl decomposes as ~2 s/round of
+DRIVER-SERIAL time plus ~31 core-seconds of parallel scoring work (fit
+from +26 s at 2 cores vs +14 s at 8 cores on identical input). The serial
+part is plan construction for the larger round DAG (1.3-1.5 s/round vs
+0.9 s broadcast), the AQE query-stage re-plan round trips across the extra
+scoring stages, and job-launch latency (~25 jobs/round; 15.9 s of
+no-job-running gaps in a 99.6 s event-logged window). These costs are
+fixed per ROUND — invariant in page volume — so the 2-vs-8-core pair at
+sandbox volumes measures them at their worst: at the 10^10-URL frontier a
+round carries ~10^4x the pages per executor-slot and the data term
+dominates the fixed term by orders of magnitude. The two stats-lookup
+regimes (2n-1 broadcast joins vs single-exchange pivot) measured
+wall-identical at 8 cores (75.8 s), so the regime threshold is not the
+bottleneck.
 """
         sec += f"""
 Raw JSON ({mode}, headline window):
