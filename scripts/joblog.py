@@ -106,9 +106,22 @@ def main() -> None:
             f"{task_s:>9.1f} {pack:>6.1f} {j['ntasks']:>6}  {j['desc'] or name}"
         )
     span = (done[-1][1]["end"] - t0) / 1e3
+    # true driver-serial idle: time with NO job running at all (the per-job
+    # gap column is sequential and mis-counts when jobs overlap, e.g. AQE
+    # query-stage futures) — union the [start, end] intervals and subtract
+    idle = 0.0
+    ivs = sorted((j["start"], j["end"]) for _, j in done)
+    cur0, cur1 = ivs[0]
+    for a, b in ivs[1:]:
+        if a > cur1:
+            idle += a - cur1
+            cur0, cur1 = a, b
+        else:
+            cur1 = max(cur1, b)
     print(
         f"\nspan={span:.1f}s  sum_job_wall={total_wall:.1f}s  "
-        f"sum_gaps={total_gap:.1f}s  sum_task={total_task:.1f}s  "
+        f"sum_gaps={total_gap:.1f}s  idle(no job running)={idle/1e3:.1f}s  "
+        f"sum_task={total_task:.1f}s  "
         f"overall pack={100.0*total_task/cores/span:.1f}% of {cores} cores"
     )
 
