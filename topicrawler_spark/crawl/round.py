@@ -790,20 +790,20 @@ def run_round(
             ops.join_score,
         )
         per_side = F.broadcast(per) if small_round else per
+        # campaign-prebuilt perp tree (JoinScorer.perp_col) when available —
+        # rebuilding the identical Column tree per round is serial driver
+        # time; fall back for ad-hoc scorers constructed without it
+        perp_tree = ops.join_score.perp_col
+        if perp_tree is None:
+            perp_tree = join_perp_column(
+                F.col("text"),
+                F.col("_perp_s"),
+                F.col("_perp_n"),
+                ops.join_score.base,
+            )
         scored = (
             with_ng.join(per_side, "canon", "left")
-            .withColumn(
-                "perp",
-                F.when(
-                    F.col("fetch_ok") & ~is_robots,
-                    join_perp_column(
-                        F.col("text"),
-                        F.col("_perp_s"),
-                        F.col("_perp_n"),
-                        ops.join_score.base,
-                    ),
-                ),
-            )
+            .withColumn("perp", F.when(F.col("fetch_ok") & ~is_robots, perp_tree))
             .drop("ngrams", "_perp_s", "_perp_n")
         )
         scored.cache()

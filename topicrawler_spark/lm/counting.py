@@ -19,6 +19,8 @@ reuse + sort-merge joins.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -355,19 +357,84 @@ def _hist_suffix(toks: Column, n: int, j: int) -> Column:
 
 
 def _join_stats_keys(
-    ngrams_df: DataFrame, stats: DataFrame, keys: dict[str, Column], cols: list[str]
+    ngrams_df: DataFrame,
+    stats: DataFrame,
+    keys: dict[str, Column],
+    cols: list[str],
+    dims: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Left-join the stats dimension once per key expression; joined columns
     are prefixed ``_{tag}_``. All equi-joins on the ngram string (broadcast
-    or SMJ under AQE)."""
+    or SMJ under AQE). ``dims`` (from ``build_stats_lookup``) supplies the
+    per-tag aliased dimension DataFrames prebuilt once per campaign —
+    rebuilding them per scoring call costs ~800 py4j round trips of serial
+    driver time per crawl round."""
     out = ngrams_df
     for tag, key_expr in keys.items():
-        dim = stats.select(
-            F.col("ngram").alias(f"_key_{tag}"),
-            *[F.col(c).alias(f"_{tag}_{c}") for c in cols],
+        dim = (
+            dims[tag]
+            if dims is not None
+            else stats.select(
+                F.col("ngram").alias(f"_key_{tag}"),
+                *[F.col(c).alias(f"_{tag}_{c}") for c in cols],
+            )
         )
         out = out.join(dim, key_expr == F.col(f"_key_{tag}"), "left").drop(f"_key_{tag}")
     return out
+
+
+@dataclass
+class StatsLookup:
+    """Round-invariant pieces of the stats-dimension lookup, built once per
+    scoring campaign (``build_stats_lookup``). DataFrames and Columns are
+    immutable plan fragments — reusing them across rounds removes the
+    per-round py4j/analysis cost of rebuilding identical trees.
+
+    ``dims``: per-tag aliased dimension (join-per-key form).
+    ``probe_cols``: the (id alias, posexplode(keys)) select list (pivot form).
+    ``dim``: the single aliased dimension (pivot form).
+    ``aggs``: the pivot hash-aggregate columns (pivot form)."""
+
+    dims: dict[str, DataFrame]
+    probe_cols: list[Column]
+    dim: DataFrame
+    aggs: list[Column]
+    ngram_col: str = "ngram"
+
+
+def build_stats_lookup(
+    stats: DataFrame,
+    keys: dict[str, Column],
+    cols: list[str],
+    ngram_col: str = "ngram",
+) -> StatsLookup:
+    """Prebuild every round-invariant fragment both stats-lookup forms use
+    (see ``StatsLookup``). The probe side still differs per call, but the
+    dimension aliases, posexplode array, and pivot agg trees are identical
+    every round."""
+    tags = list(keys)
+    dims = {
+        tag: stats.select(
+            F.col("ngram").alias(f"_key_{tag}"),
+            *[F.col(c).alias(f"_{tag}_{c}") for c in cols],
+        )
+        for tag in tags
+    }
+    probe_cols = [
+        F.col(ngram_col).alias("_pg"),
+        F.posexplode(F.array(*[keys[t] for t in tags])).alias("_ki", "_key"),
+    ]
+    dim = stats.select(
+        F.col("ngram").alias("_key"), *[F.col(c).alias(f"_st_{c}") for c in cols]
+    )
+    aggs = [
+        F.max(F.when(F.col("_ki") == i, F.col(f"_st_{c}"))).alias(f"_{t}_{c}")
+        for i, t in enumerate(tags)
+        for c in cols
+    ]
+    return StatsLookup(
+        dims=dims, probe_cols=probe_cols, dim=dim, aggs=aggs, ngram_col=ngram_col
+    )
 
 
 def _join_stats_keys_pivot(
@@ -376,6 +443,7 @@ def _join_stats_keys_pivot(
     keys: dict[str, Column],
     cols: list[str],
     ngram_col: str = "ngram",
+    lookup: StatsLookup | None = None,
 ) -> DataFrame:
     """Single-exchange twin of ``_join_stats_keys`` for inputs whose
     ``ngram_col`` values are UNIQUE (the per-round distinct-ngram scoring
@@ -395,22 +463,13 @@ def _join_stats_keys_pivot(
 
     Input rows beyond ``ngram_col`` are NOT carried (callers on the distinct
     path have none); duplicate ngram values would collapse — callers must
-    guarantee uniqueness."""
-    tags = list(keys)
-    tagged = ngrams_df.select(
-        F.col(ngram_col).alias("_pg"),
-        F.posexplode(F.array(*[keys[t] for t in tags])).alias("_ki", "_key"),
-    )
-    dim = stats.select(
-        F.col("ngram").alias("_key"), *[F.col(c).alias(f"_st_{c}") for c in cols]
-    )
-    hits = tagged.join(dim, "_key", "left")
-    aggs = [
-        F.max(F.when(F.col("_ki") == i, F.col(f"_st_{c}"))).alias(f"_{t}_{c}")
-        for i, t in enumerate(tags)
-        for c in cols
-    ]
-    return hits.groupBy("_pg").agg(*aggs).withColumnRenamed("_pg", ngram_col)
+    guarantee uniqueness. ``lookup`` (a ``build_stats_lookup`` result)
+    supplies the round-invariant plan fragments prebuilt once per campaign."""
+    if lookup is None or lookup.ngram_col != ngram_col:
+        lookup = build_stats_lookup(stats, keys, cols, ngram_col)
+    tagged = ngrams_df.select(*lookup.probe_cols)
+    hits = tagged.join(lookup.dim, "_key", "left")
+    return hits.groupBy("_pg").agg(*lookup.aggs).withColumnRenamed("_pg", ngram_col)
 
 
 def score_stupid_backoff_join(
@@ -602,6 +661,7 @@ def score_kn_join_with_stats(
     ngram_col: str = "ngram",
     exprs: tuple[dict[str, Column], Column, list[str]] | None = None,
     unique_input: bool = False,
+    lookup: StatsLookup | None = None,
 ) -> DataFrame:
     """``score_kn_join`` against a prebuilt ``kn_join_setup`` dimension.
     Pass ``exprs`` (a ``kn_join_exprs`` result) to reuse the Column trees
@@ -609,15 +669,22 @@ def score_kn_join_with_stats(
     a single-column DataFrame of DISTINCT ngrams — the per-round scoring
     path) routes through the single-exchange explode/join/pivot form
     (``_join_stats_keys_pivot``) instead of 2n-1 stats joins; results are
-    identical (parity-tested)."""
+    identical (parity-tested). ``lookup`` (a ``build_stats_lookup`` result)
+    reuses the round-invariant dimension/agg plan fragments — with exprs
+    and lookup supplied, a scoring call costs ~1/3 the py4j round trips."""
     if exprs is None:
         exprs = kn_join_exprs(order, consts, ngram_col)
     keys, kn_log10, added = exprs
     stat_cols = ["cnt", "nf_tot", "np_tot", "nfp_tot"]
     if unique_input:
-        out = _join_stats_keys_pivot(ngrams_df, stats, keys, stat_cols, ngram_col)
+        out = _join_stats_keys_pivot(
+            ngrams_df, stats, keys, stat_cols, ngram_col, lookup=lookup
+        )
     else:
-        out = _join_stats_keys(ngrams_df, stats, keys, stat_cols)
+        out = _join_stats_keys(
+            ngrams_df, stats, keys, stat_cols,
+            dims=lookup.dims if lookup is not None else None,
+        )
     return out.withColumn("kn_log10", kn_log10).drop(*added)
 
 

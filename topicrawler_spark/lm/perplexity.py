@@ -190,12 +190,21 @@ class JoinScorer:
 
     def __init__(
         self, stats, consts: dict, order: int, base: float, exprs=None,
-        pivot: bool = False,
+        pivot: bool = False, lookup=None, perp_col=None,
     ) -> None:
         self.stats = stats
         self.consts = consts
         self.order = order
         self.base = base
+        # build_stats_lookup result: the round-invariant dimension/agg plan
+        # fragments of the stats lookup, prebuilt once per campaign —
+        # rebuilding them per round cost ~1,100 py4j round trips (~0.5 s of
+        # serial driver time) per crawl round, a fixed cost that does not
+        # shrink with executors.
+        self.lookup = lookup
+        # prebuilt join_perp_column tree over the fixed (text, _perp_s,
+        # _perp_n) names — same reasoning (the tree is round-invariant)
+        self.perp_col = perp_col
         # kn_join_exprs result, built once per campaign: rebuilding the KN
         # when-chain Column trees is ~0.5-1 s of serial driver py4j time per
         # scoring call — pure plan-construction latency that scales with
@@ -225,6 +234,7 @@ def build_join_scorer(
         kn_join_setup,
         score_kn_join_with_stats,
     )
+    from topicrawler_spark.lm.counting import build_stats_lookup
     from topicrawler_spark.lm.ngrams import UNKNOWN_WORD
 
     stats, consts = kn_join_setup(lm_counts, order, discount)
@@ -238,13 +248,22 @@ def build_join_scorer(
         pivot_min_stats = 100_000
     pivot = n_stats >= pivot_min_stats
     exprs = kn_join_exprs(order, consts)
+    lookup = build_stats_lookup(
+        stats, exprs[0], ["cnt", "nf_tot", "np_tot", "nfp_tot"]
+    )
     unk = spark.createDataFrame([(" ".join([UNKNOWN_WORD] * order),)], "ngram string")
     row = score_kn_join_with_stats(
-        unk, stats, order, consts, exprs=exprs, unique_input=pivot
+        unk, stats, order, consts, exprs=exprs, unique_input=pivot, lookup=lookup
     ).collect()[0]
     lp = row["kn_log10"]
     base = math.pow(10.0, -lp) if lp is not None and math.isfinite(lp) else 0.0
-    return JoinScorer(stats, consts, order, base, exprs=exprs, pivot=pivot)
+    perp_col = join_perp_column(
+        F.col("text"), F.col("_perp_s"), F.col("_perp_n"), base
+    )
+    return JoinScorer(
+        stats, consts, order, base, exprs=exprs, pivot=pivot,
+        lookup=lookup, perp_col=perp_col,
+    )
 
 
 def score_pages_join(pages, js: JoinScorer, id_col: str = "canon", ngrams_col: str = "ngrams"):
@@ -261,7 +280,8 @@ def score_pages_join(pages, js: JoinScorer, id_col: str = "canon", ngrams_col: s
     expl = pages.select(F.col(id_col).alias("_pid"), F.explode(ngrams_col).alias("ngram"))
     uniq = expl.select("ngram").distinct()
     scored = score_kn_join_with_stats(
-        uniq, js.stats, js.order, js.consts, exprs=js.exprs, unique_input=js.pivot
+        uniq, js.stats, js.order, js.consts, exprs=js.exprs, unique_input=js.pivot,
+        lookup=js.lookup,
     ).select("ngram", "kn_log10")
     return (
         expl.join(scored, "ngram")
